@@ -1,0 +1,569 @@
+"""Operator-parity query registry (the driver correctness gate).
+
+Each entry pairs a Spark DataFrame program with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables. Names map to SURVEY.md §2
+operator ids; reference citations are in each docstring.
+
+Portability rules that make value-hash comparison possible:
+  - every computed column is aliased IDENTICALLY on both sides;
+  - doubles are round()ed to a fixed precision on both sides;
+  - all hashing uses the md5-prefix trick:
+      Spark : conv(substring(md5(x),1,15),16,10) cast long
+      DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT
+  - limits / window ranks always carry a deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def md5h(col: Column) -> Column:
+    """60-bit md5-prefix hash, bit-identical to the DuckDB expression
+    ('0x'||substr(md5(x),1,15))::BIGINT (see kernels.url_hash64)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MD5H_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+# ===========================================================================
+# §2.1 Scans / top-k / point lookups (S1-S7)
+# ===========================================================================
+
+@register(
+    "filter_range_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice >= 50000
+    """,
+)
+def q_filter_range_scan(spark, sf_dir):
+    """S3: filtered+projected scan (ref channel_repo.rs:46-72 — recrawl
+    seed selection `lastUploadAt >= cutoff AND subscribers >= 8000`).
+    Both predicates reach the parquet scan as PushedFilters."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= F.lit("1998-01-01")) & (F.col("o_totalprice") >= 50000))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "frontier_pop_topk",
+    """
+    SELECT event_id, user_id, ts
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-20'
+    ORDER BY ts ASC, event_id ASC
+    LIMIT 100
+    """,
+)
+def q_frontier_pop_topk(spark, sf_dir):
+    """S4/O1: the frontier pop — filter ready, order by staleness asc,
+    take 100, with a deterministic tiebreak (ref channel_repo.rs:74-108:
+    `lastCrawl < now-1d`, sort lastCrawl asc, limit 100). Spark physical
+    plan: TakeOrderedAndProject (no full sort, no full shuffle)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-20"))
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@register(
+    "point_lookup",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42",
+)
+def q_point_lookup(spark, sf_dir):
+    """S5: point lookup by key (ref channel_repo.rs:110-124 find_one)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "argmin_least_used",
+    """
+    SELECT s_suppkey, s_nationkey, round(s_acctbal, 4) AS acctbal
+    FROM supplier
+    ORDER BY s_nationkey ASC, s_acctbal ASC, s_suppkey ASC
+    LIMIT 1
+    """,
+)
+def q_argmin_least_used(spark, sf_dir):
+    """S7/O2/A4: least-used politeness token = top-1 by composite key
+    (ref apikeys_repo.rs:25-37 sort (pdt_day, used_quota) asc limit 1)."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .orderBy("s_nationkey", "s_acctbal", "s_suppkey")
+        .limit(1)
+        .select("s_suppkey", "s_nationkey", F.round("s_acctbal", 4).alias("acctbal"))
+    )
+
+
+@register(
+    "watermark_default",
+    """
+    SELECT coalesce(max(ts), TIMESTAMP '2023-12-31 00:00:00') AS watermark_ts
+    FROM events WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-02'
+    """,
+)
+def q_watermark_default(spark, sf_dir):
+    """S6: watermark read with default (ref settings_repo.rs:25-40 —
+    lastDiscoveryCrawl, default now-1d-1s when unset)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "signup") & (F.col("ts") < F.lit("2024-01-02")))
+        .agg(F.coalesce(F.max("ts"), F.lit("2023-12-31 00:00:00").cast("timestamp")).alias("watermark_ts"))
+    )
+
+
+# ===========================================================================
+# §2.3 Joins (J1-J6)
+# ===========================================================================
+
+@register(
+    "lookup_left_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+    """,
+)
+def q_lookup_left_join(spark, sf_dir):
+    """J1: broadcast left outer hash join (ref video_repo.rs:26-53 builds
+    HashMap<video_id,updatedAt>, probed per feed entry). The small side is
+    explicitly broadcast: no shuffle of the big side."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "seen_anti_join",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_seen_anti_join(spark, sf_dir):
+    """J2: URL-seen dedup as anti join (ref channel_discovery_crawler.rs:
+    120-125 — `!channels.exists && !additional.exists` per candidate; ours
+    is one set-wise anti join instead of 2 point reads per candidate)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "blacklist_semi_join",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_blacklist_semi_join(spark, sf_dir):
+    """J4: membership as left-semi join (ref sailing_terms_service.rs:64-71
+    blacklist Vec contains)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select("c_custkey")
+
+
+_TERMS = ["spark", "join", "window", "hash"]
+
+@register(
+    "term_theta_join",
+    f"""
+    SELECT d.doc_id,
+           max(CASE WHEN contains(lower(d.text), t.term) THEN 1 ELSE 0 END) = 1 AS has_term
+    FROM documents d
+    CROSS JOIN (VALUES {", ".join(f"('{t}')" for t in _TERMS)}) AS t(term)
+    GROUP BY d.doc_id
+    """,
+)
+def q_term_theta_join(spark, sf_dir):
+    """J5: broadcast nested-loop theta join — substring containment against
+    a term vocabulary (ref sailing_terms_service.rs:47-54: per-term
+    `title.contains(term) || description.contains(term)`)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.sparkSession.createDataFrame([(t,) for t in _TERMS], ["term"])
+    return (
+        docs.crossJoin(F.broadcast(terms))
+        .groupBy("doc_id")
+        .agg((F.max(F.when(F.lower(F.col("text")).contains(F.col("term")), 1).otherwise(0)) == 1).alias("has_term"))
+    )
+
+
+# ===========================================================================
+# §2.4 Aggregations (A1-A6)
+# ===========================================================================
+
+@register(
+    "count_by_key",
+    "SELECT l_orderkey, count(*) AS item_count FROM lineitem GROUP BY l_orderkey",
+)
+def q_count_by_key(spark, sf_dir):
+    """A1: per-key count (ref video_repo.rs:76-82 count_documents by
+    channel -> videoCount). Partial (map-side) agg then final — one
+    shuffle of pre-aggregated data only."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(F.count("*").alias("item_count"))
+
+
+@register(
+    "max_by_key",
+    "SELECT l_orderkey, max(l_shipdate) AS last_item_ts FROM lineitem GROUP BY l_orderkey",
+)
+def q_max_by_key(spark, sf_dir):
+    """A3: running max per key (ref video_scraper.rs:36-41,55-57 —
+    lastUploadAt = max(published))."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_item_ts"))
+
+
+@register(
+    "quota_accumulate",
+    """
+    SELECT user_id, count(*) AS requests, round(sum(value), 4) AS spent
+    FROM events GROUP BY user_id
+    """,
+)
+def q_quota_accumulate(spark, sf_dir):
+    """A6: per-host quota accumulation (ref apikeys_repo.rs:47-51
+    `$inc used_quota` per request, set-wise)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("requests"), F.round(F.sum("value"), 4).alias("spent"))
+    )
+
+
+@register(
+    "pricing_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(1e-9 + avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_rollup(spark, sf_dir):
+    """TPC-H Q1-shaped rollup: the bench headline aggregate. Exercises
+    map-side partial aggregation + whole-stage codegen arithmetic."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+        F.round(F.avg("l_discount") + F.lit(1e-9), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ===========================================================================
+# §2.5 Windows (W1-W2)
+# ===========================================================================
+
+@register(
+    "window_topk_per_key",
+    """
+    SELECT user_id, event_id, round(value, 4) AS value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_key(spark, sf_dir):
+    """W1: per-host frontier pop — rank within partition, take k, with
+    deterministic tiebreak (ref channel_repo.rs:80-83 generalized from
+    global to per-host; this is the scale-out shape of the pop)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+@register(
+    "daily_snapshot_last",
+    """
+    SELECT user_id, yyyymmdd, round(value, 4) AS last_value
+    FROM (
+      SELECT user_id, strftime(ts, '%Y%m%d')::INT AS yyyymmdd, value,
+             row_number() OVER (
+               PARTITION BY user_id, strftime(ts, '%Y%m%d')::INT
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_daily_snapshot_last(spark, sf_dir):
+    """W2/A5: last-writer-wins daily snapshot, one row per (key, day)
+    (ref channel_scraper.rs:201-245 upsert keyed {channel, yyyymmdd})."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "yyyymmdd", F.date_format("ts", "yyyyMMdd").cast("int")
+    )
+    w = Window.partitionBy("user_id", "yyyymmdd").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "yyyymmdd", F.round("value", 4).alias("last_value"))
+    )
+
+
+# ===========================================================================
+# §2.7 Set ops + §2.2 predicates
+# ===========================================================================
+
+@register(
+    "union_sources",
+    """
+    SELECT 'errors' AS source, event_id, user_id FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'purchases' AS source, event_id, user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_union_sources(spark, sf_dir):
+    """Set op: the three crawl producers union into one scraper stream
+    (ref main.rs:87-106 — three producers, one tx), tagged by source."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.lit("errors").alias("source"), "event_id", "user_id"
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("purchases").alias("source"), "event_id", "user_id"
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "staleness_buckets",
+    """
+    SELECT CASE
+             WHEN age_secs >= 24*7*86400 THEN 4*7*86400
+             WHEN age_secs >= 4*7*86400 THEN 7*86400
+             WHEN age_secs >= 7*86400 THEN 86400
+             ELSE 3*3600
+           END AS refresh_secs,
+           count(*) AS n
+    FROM (
+      SELECT date_diff('second', ts, TIMESTAMP '2024-01-31') AS age_secs FROM events
+    ) GROUP BY 1
+    """,
+)
+def q_staleness_buckets(spark, sf_dir):
+    """P9: the age-bucketed refresh policy as a CASE expression — this is
+    the frontier's recrawl-priority function (ref video_scraper.rs:99-130;
+    thresholds 3h/<1w, 1d/>=1w, 1w/>=4w, 4w/>=24w)."""
+    W_ = 7 * 86400
+    df = _t(spark, sf_dir, "events").withColumn(
+        "age_secs",
+        F.unix_timestamp(F.lit("2024-01-31").cast("timestamp")) - F.unix_timestamp(F.col("ts")),
+    )
+    refresh = (
+        F.when(F.col("age_secs") >= 24 * W_, F.lit(4 * W_))
+        .when(F.col("age_secs") >= 4 * W_, F.lit(W_))
+        .when(F.col("age_secs") >= W_, F.lit(86400))
+        .otherwise(F.lit(3 * 3600))
+    )
+    return df.groupBy(refresh.alias("refresh_secs")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "quota_day_pacific",
+    """
+    SELECT strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Los_Angeles', '%Y%m%d')::INT AS pdt_day,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_quota_day_pacific(spark, sf_dir):
+    """F7: Pacific-calendar quota day (ref apikeys_repo.rs:40-45 —
+    Utc::now().with_timezone(&Pacific).format('%Y%m%d'))."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "pdt_day",
+        F.date_format(F.from_utc_timestamp("ts", "America/Los_Angeles"), "yyyyMMdd").cast("int"),
+    )
+    return df.groupBy("pdt_day").agg(F.count("*").alias("n"))
+
+
+@register(
+    "date_parts",
+    """
+    SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_date_parts(spark, sf_dir):
+    """F8: y/m/d extraction for the metrics key (ref channel_scraper.rs:
+    211-213,234-236)."""
+    df = _t(spark, sf_dir, "events")
+    return df.groupBy(
+        F.year("ts").alias("year"), F.month("ts").alias("month"), F.dayofmonth("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "parse_cast_json",
+    """
+    SELECT event_type, round(1e-9 + avg(regexp_extract(props, '[0-9]+')::BIGINT), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_parse_cast_json(spark, sf_dir):
+    """F4: numeric-in-string parsing (ref channel_scraper.rs:74-87 —
+    YouTube returns counts as strings)."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "k", F.regexp_extract("props", "[0-9]+", 0).cast("long")
+    )
+    return df.groupBy("event_type").agg(F.round(F.avg("k") + F.lit(1e-9), 4).alias("avg_k"))
+
+
+@register(
+    "keyword_tokenize",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '"[^"]+"|[^ ]+')) AS n_keywords
+    FROM documents
+    """,
+)
+def q_keyword_tokenize(spark, sf_dir):
+    """F3: the quoted-phrase keyword tokenizer as one SQL expression
+    (ref utils/keyword_utils.rs:3-18, regex `[\"].+?[\"]|[^ ]+`)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit('"[^"]+"|[^ ]+'), 0)).alias("n_keywords"),
+    )
+
+
+# ===========================================================================
+# MERGE / DELETE rewrites (S12-S15) — expressed as the join-rewrites our
+# snapshot store executes
+# ===========================================================================
+
+@register(
+    "merge_upsert",
+    """
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 != 0),
+         updates AS (SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS new_price
+                     FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+           round(coalesce(u.new_price, b.o_totalprice), 4) AS o_totalprice
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """S12: MERGE INTO (upsert) as a full-outer-join rewrite — matched
+    rows updated, unmatched inserted (ref update_one($set, upsert:true),
+    channel_repo.rs:132-141 et al.). This is exactly what
+    tables.SnapshotStore.merge() executes."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey", "o_totalprice")
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("u_key"), F.round(F.col("o_totalprice") * 1.1, 4).alias("new_price")
+    )
+    return (
+        base.join(updates, base.o_orderkey == updates.u_key, "full_outer")
+        .select(
+            F.coalesce(base.o_orderkey, updates.u_key).alias("o_orderkey"),
+            F.round(F.coalesce(updates.new_price, base.o_totalprice), 4).alias("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "cascade_delete",
+    """
+    SELECT l.l_returnflag, count(*) AS remaining
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    )
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_cascade_delete(spark, sf_dir):
+    """S13/S14: predicate delete + cascade as anti-join rewrite (ref
+    delete_many by channel across videos/views/subscribers,
+    channel_scraper.rs:161-168)."""
+    li = _t(spark, sf_dir, "lineitem")
+    doomed = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        li.join(doomed, li.l_orderkey == doomed.o_orderkey, "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("remaining"))
+    )
+
+
+@register(
+    "quota_roll_merge",
+    """
+    SELECT user_id,
+           CASE WHEN prev_day < 20240115 THEN requests ELSE prev_used + requests END AS used_quota,
+           CASE WHEN prev_day < 20240115 THEN 20240115 ELSE prev_day END AS quota_day
+    FROM (
+      SELECT user_id,
+             count(*) AS requests,
+             user_id % 3 + 3 AS prev_used,
+             CASE WHEN user_id % 2 = 0 THEN 20240114 ELSE 20240115 END AS prev_day
+      FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      GROUP BY user_id
+    )
+    """,
+)
+def q_quota_roll_merge(spark, sf_dir):
+    """S16: conditional inc-or-reset quota merge (ref apikeys_repo.rs:
+    39-67 — `$inc used_quota` vs reset on Pacific day roll), set-wise as
+    a CASE inside the token-table MERGE."""
+    today = 20240115
+    df = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-16"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("requests"))
+        .withColumn("prev_used", F.col("user_id") % 3 + 3)
+        .withColumn(
+            "prev_day",
+            F.when(F.col("user_id") % 2 == 0, F.lit(20240114)).otherwise(F.lit(today)),
+        )
+    )
+    rolled = F.col("prev_day") < today
+    return df.select(
+        "user_id",
+        F.when(rolled, F.col("requests")).otherwise(F.col("prev_used") + F.col("requests")).alias("used_quota"),
+        F.when(rolled, F.lit(today)).otherwise(F.col("prev_day")).alias("quota_day"),
+    )

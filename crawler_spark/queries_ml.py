@@ -1,0 +1,493 @@
+"""Training-data pipeline operators as oracle-checked queries.
+
+Deduplication (exact, minhash+LSH, simhash, n-gram Jaccard), similarity
+search (brute-force cosine top-k + LSH-bucketed ANN), and text analysis
+(lang-ID, quality, token counts, fingerprints) over the driver's
+`documents` / `embeddings` tables. Every hash is md5-prefix based so the
+DuckDB oracle reproduces it bit-for-bit (see queries.md5h).
+
+Scale notes (100 TB):
+  - shingle explode + self-join is bounded by the stop-shingle filter
+    (doc-frequency cap) — without it hot shingles quadratically blow up
+    the join, exactly like hot hosts in the frontier;
+  - minhash/LSH turns all-pairs O(n^2) into per-bucket candidate pairs;
+  - sign-LSH buckets shrink the ANN search space ~2^bits per query;
+    brute-force cosine stays as the exact per-bucket scorer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from crawler_spark.queries import MD5H_SQL, _t, md5h, register
+
+# ---------------------------------------------------------------------------
+# shared shingle builders (Spark + SQL sides must tokenize identically)
+# ---------------------------------------------------------------------------
+
+def _words(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+WORDS_SQL = "string_split_regex(trim(lower({x})), '\\s+')"
+
+
+def _shingles(col, k: int = 3):
+    """k-word shingles as an array column (empty-safe)."""
+    w = _words(col)
+    n = F.greatest(F.size(w) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+    )
+
+
+def _shingles_sql(x: str, k: int = 3) -> str:
+    w = WORDS_SQL.format(x=x)
+    return (
+        "list_transform(range(1, greatest(len(" + w + ") - " + str(k - 1) + ", 1) + 1), "
+        "i -> array_to_string((" + w + ")[i:i+" + str(k - 1) + "], ' '))"
+    )
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+@register(
+    "dedup_exact",
+    """
+    SELECT prefix_key, min(doc_id) AS keeper_doc_id, count(*) AS n_members
+    FROM (
+      SELECT doc_id,
+             array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:3], ' ') AS prefix_key
+      FROM documents
+    ) GROUP BY prefix_key
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content key: hash-groupBy, keep min id (the
+    canonical-URL-hash MERGE dedup of the corpus sink, SURVEY §2.1 S12).
+    Keyed on a 3-word prefix so the testdata actually has groups."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(_words(F.col("text")), 1, 3)).alias("prefix_key")
+    return docs.select("doc_id", key).groupBy("prefix_key").agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_members")
+    )
+
+
+_STOP_SHINGLE_DF = 20  # doc-frequency cap: stop-shingle removal (skew defuse)
+
+_JACCARD_SQL = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)
+    ),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {cap}
+    ),
+    shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(1e-9 + c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+""".format(shingles=_shingles_sql("text"), cap=_STOP_SHINGLE_DF)
+
+
+@register("dedup_jaccard_pairs", _JACCARD_SQL)
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs: explode 3-word shingles, drop hot
+    shingles (doc-frequency cap — the dedup analogue of hot-host skew
+    salting), self-join on shingle, Jaccard = |A∩B|/(|A|+|B|-|A∩B|)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).distinct()
+    rare = sh.groupBy("shingle").count().filter(F.col("count") <= _STOP_SHINGLE_DF).select("shingle")
+    shr = sh.join(F.broadcast(rare), "shingle")
+    sizes = shr.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shr.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shr.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac + F.lit(1e-9), 4).alias("jaccard"))
+    )
+
+
+_MINHASH_LANES = 8
+_LSH_BANDS = 4  # 4 bands x 2 rows
+
+_sig_lanes_sql = ", ".join(
+    "min(" + MD5H_SQL.format(x="'" + str(i) + ":' || shingle") + ") AS h" + str(i)
+    for i in range(_MINHASH_LANES)
+)
+_bands_sql = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5(h{r0}::VARCHAR || ':' || h{r1}::VARCHAR) AS bucket FROM sig".format(
+        b=b, r0=2 * b, r1=2 * b + 1
+    )
+    for b in range(_LSH_BANDS)
+)
+_MINHASH_SQL = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)
+    ),
+    sig AS (SELECT doc_id, {lanes} FROM sh GROUP BY doc_id),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""".format(shingles=_shingles_sql("text"), lanes=_sig_lanes_sql, bands=_bands_sql)
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle → 8-lane md5 minhash
+    signature → 4 bands of 2 lanes → band-bucket self-join. All-pairs
+    O(n^2) becomes per-bucket pairs; lanes are oracle-reproducible
+    (md5-seeded min — same scheme as kernels.minhash_signature)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).distinct()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5h(F.concat(F.lit(str(i) + ":"), F.col("shingle")))).alias("h" + str(i))
+            for i in range(_MINHASH_LANES)
+        ]
+    )
+    bands = None
+    for b in range(_LSH_BANDS):
+        one = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(
+                    F.col(f"h{2 * b}").cast("string"),
+                    F.lit(":"),
+                    F.col(f"h{2 * b + 1}").cast("string"),
+                )
+            ).alias("bucket"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+_SIMHASH_BITS = 16
+
+_simhash_terms_sql = " + ".join(
+    "(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {v} ELSE 0 END)".format(
+        b=b, v=1 << b
+    )
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest({words}) AS tok FROM documents
+    ),
+    th AS (SELECT doc_id, {h} AS h FROM toks)
+    SELECT doc_id, {terms} AS simhash16
+    FROM th GROUP BY doc_id
+""".format(words=WORDS_SQL.format(x="text"), h=MD5H_SQL.format(x="tok"), terms=_simhash_terms_sql)
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprint (16-bit oracle-checked variant of the 64-bit
+    kernels.simhash64): per token md5-hash, per bit sum ±1, sign → bit.
+    One shuffle (groupBy doc_id) regardless of bit width."""
+    docs = _t(spark, sf_dir, "documents")
+    th = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok")).select(
+        "doc_id", md5h(F.col("tok")).alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    agg = th.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash16"))
+
+
+# ===========================================================================
+# Similarity search (embeddings)
+# ===========================================================================
+
+@register(
+    "knn_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(list_zip(e.embedding, q.qv),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id != 0
+    )
+    SELECT vec_id, round(sim, 4) AS cosine
+    FROM sims
+    ORDER BY round(sim, 4) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_knn_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exact ANN baseline): dot product via
+    zip_with + aggregate, entirely JVM-side (no Python). At scale this is
+    the per-bucket scorer after LSH pruning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = dsum(F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")))
+    norm_e = F.sqrt(dsum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
+    norm_q = F.sqrt(dsum(F.transform("qv", lambda x: x.cast("double") * x.cast("double"))))
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", (dot / (norm_e * norm_q)).alias("sim"))
+    )
+    return (
+        sims.select("vec_id", F.round("sim", 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# deterministic sign-LSH hyperplanes, shared literal on both sides
+_ANN_BITS = 4
+_EMB_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    rng = np.random.default_rng(42)
+    return [[round(float(x), 6) for x in rng.standard_normal(_EMB_DIM)] for _ in range(_ANN_BITS)]
+
+
+_PLANES = _hyperplanes()
+
+_bucket_terms_sql = " + ".join(
+    "(CASE WHEN list_sum(list_transform(list_zip(embedding, [{plane}]), "
+    "x -> x[1]::DOUBLE * x[2]::DOUBLE)) > 0 THEN {v} ELSE 0 END)".format(
+        plane=", ".join(str(x) + "::DOUBLE" for x in p), v=1 << i
+    )
+    for i, p in enumerate(_PLANES)
+)
+_LSH_BUCKET_SQL = """
+    SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+    FROM (SELECT vec_id, {terms} AS bucket FROM embeddings)
+    GROUP BY bucket
+""".format(terms=_bucket_terms_sql)
+
+
+@register("knn_lsh_buckets", _LSH_BUCKET_SQL)
+def q_knn_lsh_buckets(spark, sf_dir):
+    """Sign-LSH ANN bucketing (the scale path): 4 seeded hyperplanes →
+    sign bits → bucket id. The hyperplanes are literals shared with the
+    oracle so bucketing is bit-reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for i, p in enumerate(_PLANES):
+        plane = F.array(*[F.lit(x) for x in p])
+        dot = F.aggregate(
+            F.zip_with("embedding", plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return (
+        emb.select("vec_id", bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+@register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           n_chars,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
+           len(string_split_regex(trim(text), '\s+')) AS n_words
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark, sf_dir):
+    """Token counting: whitespace words + BPE-ish regex tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+    )
+
+
+_QS_STOPWORDS = ["the", "and", "of", "to", "is", "in"]
+_stop_arr_sql = "['" + "', '".join(_QS_STOPWORDS) + "']"
+
+_QUALITY_SQL = """
+    SELECT doc_id,
+           round(1e-9 + least(n_chars, 2000) / 2000.0 * 0.4
+                 + (1.0 - least(punct_n * 1.0 / greatest(tok_n, 1), 0.5) * 2.0) * 0.3
+                 + least(stop_n * 1.0 / greatest(word_n, 1), 0.5) * 2.0 * 0.3, 4) AS quality
+    FROM (
+      SELECT doc_id, n_chars,
+             len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS tok_n,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct_n,
+             len({words}) AS word_n,
+             len(list_filter({words}, w -> list_contains({stops}, w))) AS stop_n
+      FROM documents
+    )
+""".format(words=WORDS_SQL.format(x="text"), stops=_stop_arr_sql)
+
+
+@register("text_quality_score", _QUALITY_SQL)
+def q_text_quality_score(spark, sf_dir):
+    """Quality scoring: length/punct/stopword composite in [0,1] (SQL
+    form of kernels.quality_score, oracle-checkable)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _QS_STOPWORDS])
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("tok_n"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0)).alias("punct_n"),
+        F.size(words).alias("word_n"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).alias("stop_n"),
+    )
+    quality = (
+        F.least(F.col("n_chars"), F.lit(2000)) / 2000.0 * 0.4
+        + (1.0 - F.least(F.col("punct_n") / F.greatest(F.col("tok_n"), F.lit(1)), F.lit(0.5)) * 2.0) * 0.3
+        + F.least(F.col("stop_n") / F.greatest(F.col("word_n"), F.lit(1)), F.lit(0.5)) * 2.0 * 0.3
+    )
+    return d.select("doc_id", F.round(quality + F.lit(1e-9), 4).alias("quality"))
+
+
+_LANGS = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "es": ["el", "la", "los", "que", "es", "y"],
+}
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    arr = "['" + "', '".join(words) + "']"
+    return "len(list_filter({w}, w -> list_contains({arr}, w)))".format(
+        w=WORDS_SQL.format(x="text"), arr=arr
+    )
+
+
+_LANG_SQL = """
+    SELECT doc_id,
+           CASE
+             WHEN greatest(s_en, s_de, s_es) < 2 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_es THEN 'de'
+             ELSE 'es'
+           END AS lang_detected
+    FROM (
+      SELECT doc_id, {en} AS s_en, {de} AS s_de, {es} AS s_es FROM documents
+    )
+""".format(
+    en=_lang_score_sql(_LANGS["en"]),
+    de=_lang_score_sql(_LANGS["de"]),
+    es=_lang_score_sql(_LANGS["es"]),
+)
+
+
+@register("text_lang_id", _LANG_SQL)
+def q_text_lang_id(spark, sf_dir):
+    """Language ID by stopword vote with a reliability gate ('und' when
+    max score < 2) — SQL form of kernels.detect_language (the reference's
+    whatlang + reliability gate + whitelist, channel_scraper.rs:170-199)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+
+    def _in_vocab(vocab):
+        arr = F.array(*[F.lit(x) for x in vocab])
+        return lambda w: F.array_contains(arr, w)
+
+    d = docs.select(
+        "doc_id",
+        *[
+            F.size(F.filter(words, _in_vocab(sw))).alias(f"s_{lang}")
+            for lang, sw in _LANGS.items()
+        ],
+    )
+    pick = (
+        F.when(F.greatest("s_en", "s_de", "s_es") < 2, F.lit("und"))
+        .when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), F.lit("en"))
+        .when(F.col("s_de") >= F.col("s_es"), F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select("doc_id", pick.alias("lang_detected"))
+
+
+_FINGERPRINT_SQL = """
+    SELECT doc_id, rank, fp
+    FROM (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY doc_id ORDER BY fp ASC) AS rank
+      FROM (
+        SELECT DISTINCT doc_id, {h} AS fp
+        FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)
+      )
+    ) WHERE rank <= 4
+""".format(h=MD5H_SQL.format(x="shingle"), shingles=_shingles_sql("text", 5))
+
+
+@register("text_fingerprint_bottomk", _FINGERPRINT_SQL)
+def q_text_fingerprint_bottomk(spark, sf_dir):
+    """Document fingerprinting: bottom-4 sketch of 5-gram rolling hashes
+    (order-free cousin of kernels.fingerprint_winnow; bottom-k sketch
+    overlap estimates containment)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"), 5)).alias("shingle"))
+        .select("doc_id", md5h(F.col("shingle")).alias("fp"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("fp").asc())
+    return (
+        sh.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select("doc_id", "rank", "fp")
+    )

@@ -1,0 +1,51 @@
+"""Operator parity vs DuckDB oracle — local mirror of the driver's
+CORRECTNESS gate (row-count + schema + order-insensitive values), run at
+sf0.001 for speed (the driver runs sf0.01)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import SF_SMALL
+
+QUERIES = E.queries()
+ORACLES = E.oracle_sql()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(6)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_SMALL).toPandas()
+    odf = duck.sql(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    s, o = normalize(sdf), normalize(odf)
+    assert len(s) == len(o), f"{name}: row count {len(s)} vs {len(o)}"
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, atol=1e-9, rtol=0)
+
+
+def test_all_queries_have_callables():
+    assert len(QUERIES) >= 20
+    for name in ORACLES:
+        assert name in QUERIES
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 2
