@@ -27,6 +27,17 @@ from crawler_spark.queries import MD5H_SQL, _t, md5h, register
 # shared shingle builders (Spark + SQL sides must tokenize identically)
 # ---------------------------------------------------------------------------
 
+def _docs(spark, sf_dir):
+    """documents table, repartitioned for CPU-heavy per-row work.
+
+    The testdata ships one small parquet file -> one input partition; an
+    explode+hash pipeline would run on a single core. At 100 TB inputs are
+    thousands of files, but hot per-row compute after a narrow scan still
+    wants an explicit fan-out to cluster parallelism."""
+    n = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "documents").repartition(n)
+
+
 def _words(col):
     return F.split(F.trim(F.lower(col)), r"\s+")
 
@@ -82,17 +93,17 @@ _STOP_SHINGLE_DF = 20  # doc-frequency cap: stop-shingle removal (skew defuse)
 
 _JACCARD_SQL = """
     WITH sh AS (
-      SELECT DISTINCT doc_id, shingle
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
       FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)
     ),
     rare AS (
-      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {cap}
+      SELECT sh_h FROM sh GROUP BY sh_h HAVING count(*) <= {cap}
     ),
-    shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    shr AS (SELECT sh.* FROM sh JOIN rare USING (sh_h)),
     sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shr a JOIN shr b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -106,18 +117,24 @@ _JACCARD_SQL = """
 
 @register("dedup_jaccard_pairs", _JACCARD_SQL)
 def q_dedup_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs: explode 3-word shingles, drop hot
-    shingles (doc-frequency cap — the dedup analogue of hot-host skew
-    salting), self-join on shingle, Jaccard = |A∩B|/(|A|+|B|-|A∩B|)."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).distinct()
-    rare = sh.groupBy("shingle").count().filter(F.col("count") <= _STOP_SHINGLE_DF).select("shingle")
-    shr = sh.join(F.broadcast(rare), "shingle")
+    """n-gram Jaccard near-dup pairs: explode 3-word shingles to 60-bit
+    hashes (narrow shuffle keys), drop hot shingles (doc-frequency cap —
+    the dedup analogue of hot-host skew salting), self-join on hash,
+    Jaccard = |A∩B|/(|A|+|B|-|A∩B|)."""
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        .select("doc_id", md5h(F.col("shingle")).alias("sh_h"))
+        .distinct()
+    )
+    rare = sh.groupBy("sh_h").count().filter(F.col("count") <= _STOP_SHINGLE_DF).select("sh_h")
+    # shr feeds sizes + both self-join sides: persist, don't recompute
+    shr = sh.join(F.broadcast(rare), "sh_h").persist()
     sizes = shr.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shr.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = shr.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = shr.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    b = shr.select(F.col("doc_id").alias("doc_b"), "sh_h")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "sh_h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
@@ -134,62 +151,82 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
 
 _MINHASH_LANES = 8
 _LSH_BANDS = 4  # 4 bands x 2 rows
+_MASK60 = (1 << 60) - 1
 
+# Kirsch-Mitzenmacher double hashing: lane_i = (h1 + i*h2) & MASK60 from ONE
+# md5 per shingle (h1 = hex[1:15], h2 = hex[16:30]) — 8x fewer md5 calls than
+# seed-prefixed hashing, identical minhash guarantees, still oracle-portable.
+_H1_SQL = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+_H2_SQL = "('0x' || substr(md5(shingle), 16, 15))::BIGINT"
 _sig_lanes_sql = ", ".join(
-    "min(" + MD5H_SQL.format(x="'" + str(i) + ":' || shingle") + ") AS h" + str(i)
-    for i in range(_MINHASH_LANES)
+    f"min((h1 + {i} * h2) & {_MASK60}) AS h{i}" for i in range(_MINHASH_LANES)
 )
 _bands_sql = " UNION ALL ".join(
-    "SELECT doc_id, {b} AS band, md5(h{r0}::VARCHAR || ':' || h{r1}::VARCHAR) AS bucket FROM sig".format(
+    "SELECT doc_id, {b} AS band, h{r0} AS k1, h{r1} AS k2 FROM sig".format(
         b=b, r0=2 * b, r1=2 * b + 1
     )
     for b in range(_LSH_BANDS)
 )
 _MINHASH_SQL = """
     WITH sh AS (
-      SELECT DISTINCT doc_id, shingle
+      -- no DISTINCT: min() is idempotent to duplicate shingles
+      SELECT doc_id, {h1} AS h1, {h2} AS h2
       FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)
     ),
     sig AS (SELECT doc_id, {lanes} FROM sh GROUP BY doc_id),
     bands AS ({bands})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
-    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-""".format(shingles=_shingles_sql("text"), lanes=_sig_lanes_sql, bands=_bands_sql)
+    JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+""".format(
+    h1=_H1_SQL, h2=_H2_SQL, shingles=_shingles_sql("text"),
+    lanes=_sig_lanes_sql, bands=_bands_sql,
+)
+
+
+def md5h2(col):
+    """Second independent 60-bit hash from the same md5 (hex chars 16-30)."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
 
 
 @register("dedup_minhash_lsh", _MINHASH_SQL)
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: shingle → 8-lane md5 minhash
-    signature → 4 bands of 2 lanes → band-bucket self-join. All-pairs
-    O(n^2) becomes per-bucket pairs; lanes are oracle-reproducible
-    (md5-seeded min — same scheme as kernels.minhash_signature)."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).distinct()
+    """MinHash+LSH near-dup candidates: shingle → 8-lane minhash signature
+    (Kirsch-Mitzenmacher: lane_i = (h1 + i*h2) & 2^60-1 from one md5) →
+    4 bands of 2 lanes → band-bucket self-join on integer keys. All-pairs
+    O(n^2) becomes per-bucket pairs; integer band keys keep the shuffle
+    narrow (16 bytes/row vs md5 strings)."""
+    docs = _docs(spark, sf_dir)
+    # md5 computed ONCE per shingle, split into two independent 60-bit
+    # halves; no distinct — min() is idempotent to duplicate shingles
+    sh = (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        .select("doc_id", F.md5("shingle").alias("hex"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("hex", 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("hex", 16, 15), 16, 10).cast("long").alias("h2"),
+        )
+    )
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(md5h(F.concat(F.lit(str(i) + ":"), F.col("shingle")))).alias("h" + str(i))
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")).bitwiseAND(F.lit(_MASK60))).alias(f"h{i}")
             for i in range(_MINHASH_LANES)
         ]
-    )
+    ).persist()  # self-joined below: persist, don't recompute the explode
     bands = None
     for b in range(_LSH_BANDS):
         one = sig.select(
             "doc_id",
             F.lit(b).alias("band"),
-            F.md5(
-                F.concat(
-                    F.col(f"h{2 * b}").cast("string"),
-                    F.lit(":"),
-                    F.col(f"h{2 * b + 1}").cast("string"),
-                )
-            ).alias("bucket"),
+            F.col(f"h{2 * b}").alias("k1"),
+            F.col(f"h{2 * b + 1}").alias("k2"),
         )
         bands = one if bands is None else bands.unionByName(one)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "k1", "k2")
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "k1", "k2")
     return (
-        a.join(b2, ["band", "bucket"])
+        a.join(b2, ["band", "k1", "k2"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -219,7 +256,7 @@ def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprint (16-bit oracle-checked variant of the 64-bit
     kernels.simhash64): per token md5-hash, per bit sum ±1, sign → bit.
     One shuffle (groupBy doc_id) regardless of bit width."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     th = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok")).select(
         "doc_id", md5h(F.col("tok")).alias("h")
     )
@@ -479,7 +516,7 @@ def q_text_fingerprint_bottomk(spark, sf_dir):
     """Document fingerprinting: bottom-4 sketch of 5-gram rolling hashes
     (order-free cousin of kernels.fingerprint_winnow; bottom-k sketch
     overlap estimates containment)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = (
         docs.select("doc_id", F.explode(_shingles(F.col("text"), 5)).alias("shingle"))
         .select("doc_id", md5h(F.col("shingle")).alias("fp"))
