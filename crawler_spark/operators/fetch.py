@@ -1,0 +1,106 @@
+"""Batched fetch stage — the network boundary as a vectorized UDF.
+
+Replaces the reference's per-item HTTP round-trips
+(src/services/youtube_service.rs:24-102 JSON, src/scraper/video_scraper.rs:
+132-158 XML) with ONE mapInPandas stage over a popped micro-batch: each
+Arrow batch of URLs yields a batch of typed page structs. Against the
+deterministic synthetic web (crawler_spark.synth — no external data per
+north_rule), "fetching" is evaluating the pure page function; on a real
+deployment this same stage body would issue pipelined HTTP requests.
+
+Memory at scale: image payloads are binary columns; Arrow batch size is
+bounded (session.py maxRecordsPerBatch) and the fetch fan-out keeps
+~batch_rows*avg_image_bytes per task, independent of total corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from crawler_spark import synth
+
+FETCH_RESULT = StructType([
+    StructField("url", StringType(), False),
+    StructField("url_hash", LongType(), False),
+    StructField("host", StringType()),
+    StructField("host_hash", LongType()),
+    StructField("depth", IntegerType()),
+    StructField("status", IntegerType()),
+    StructField("error", StringType()),
+    StructField("title", StringType()),
+    StructField("description", StringType()),
+    StructField("caption", StringType()),
+    StructField("fmt", StringType()),
+    StructField("bytes", BinaryType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("outlinks", ArrayType(StringType())),
+    StructField("published_epoch", LongType()),
+    StructField("views", LongType()),
+    StructField("subscribers", LongType()),
+    StructField("subscribers_hidden", BooleanType()),
+    StructField("country", StringType()),
+    StructField("keywords_raw", StringType()),
+])
+
+_CARRY = ["url", "url_hash", "host", "host_hash", "depth"]
+_PAGE_FIELDS = [f.name for f in FETCH_RESULT.fields if f.name not in (*_CARRY, "status", "error")]
+
+
+def fetch(popped: DataFrame, universe: int = 10_000) -> DataFrame:
+    """Fetch every popped URL; returns FETCH_RESULT rows (status=200 rows
+    carry the page, 5xx rows carry only the error — ref scrapeError path,
+    src/scraper/channel_scraper.rs:148-155)."""
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pages = synth.fetch_pages(pdf["url"], universe)
+            out = pdf[_CARRY].merge(pages, on="url", how="left")
+            for f in _PAGE_FIELDS:
+                if f not in out.columns:
+                    out[f] = None
+            yield out[[f.name for f in FETCH_RESULT.fields]]
+
+    # repartition by host_hash: politeness locality — one task talks to a
+    # bounded host set (connection reuse on a real fetcher), and hot hosts
+    # were already capped at k by the pop
+    return (
+        popped.select(*_CARRY)
+        .repartition(F.col("host_hash"))
+        .mapInPandas(_fetch, FETCH_RESULT)
+    )
+
+
+def fetch_outcome(fetched: DataFrame, as_of_epoch: int) -> DataFrame:
+    """(url_hash, ok, refresh_secs) for frontier.after_fetch — refresh
+    interval from the page-age staleness policy (kernels parity:
+    staleness_threshold_secs; ref video_scraper.rs:99-130)."""
+    week = 7 * 24 * 3600
+    age = F.lit(as_of_epoch) - F.col("published_epoch")
+    thr = (
+        F.when(age >= 24 * week, F.lit(4 * week))
+        .when(age >= 4 * week, F.lit(week))
+        .when(age >= week, F.lit(24 * 3600))
+        .otherwise(F.lit(3 * 3600))
+    )
+    return fetched.select(
+        "url_hash",
+        (F.col("status") == 200).alias("ok"),
+        F.when(F.col("status") == 200, thr).otherwise(F.lit(0)).cast("long").alias("refresh_secs"),
+    )

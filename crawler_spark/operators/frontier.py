@@ -1,0 +1,135 @@
+"""Frontier: partitioned priority-queue over a snapshot table.
+
+The reference pops its recrawl frontier with a store-side
+filter+sort+limit (src/repos/channel_repo.rs:74-108: `lastCrawl < now-1d
+AND lastUploadAt >= now-52w`, sort lastCrawl asc, limit 100) and its seed
+frontier destructively (read -> enqueue -> delete,
+src/crawler/additional_channel_crawler.rs:31-48). Both collapse into one
+operator here: **rank-and-take per host** with a total deterministic
+order, politeness-capped, executed as a window over the ready partition
+of the frontier table.
+
+Determinism (the pop-order parity contract, SURVEY §7 "hard parts"): the
+pop order is the total order (priority asc, next_fetch_ts asc, url_hash
+asc). Per-host ranking plus a global sort on the same key produce exactly
+the order a single-threaded reference implementation yields, regardless
+of parallelism.
+
+Scale: the window shuffles only the READY slice (next_fetch_ts <= as_of
+prunes at the scan — partition frontier storage by day(next_fetch_ts) on
+a real deployment and file pruning makes the ready slice cheap even at
+10^10 rows). Hot hosts cost nothing extra: row_number caps each host at
+k, so skew is bounded by construction; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+POP_ORDER = ("priority", "next_fetch_ts", "url_hash")
+
+# pop-priority classes (lower pops first): seeds, then fresh discoveries,
+# then recrawls — the three reference producers (src/main.rs:87-106)
+PRIORITY_SEED = 0
+PRIORITY_DISCOVERY = 1
+PRIORITY_UPDATE = 2
+
+
+def ready(frontier: DataFrame, as_of_ts) -> DataFrame:
+    """Rows eligible to fetch now (predicate reaches the parquet scan)."""
+    return frontier.filter(F.col("next_fetch_ts") <= F.lit(as_of_ts).cast("timestamp"))
+
+
+def pop(
+    frontier: DataFrame,
+    as_of_ts,
+    k_per_host: int,
+    host_budget: DataFrame | None = None,
+    global_k: int | None = None,
+) -> DataFrame:
+    """Pop the next batch: per-host rank by (priority, next_fetch_ts,
+    url_hash) and take at most min(k_per_host, host's remaining politeness
+    budget); optionally cap the whole batch at global_k by the same total
+    order.
+
+    `host_budget` is (host_hash, budget int) — the politeness allowance
+    computed by operators.politeness.remaining_budget; it is small (one
+    row per host) and broadcast.
+    """
+    r = ready(frontier, as_of_ts)
+    w = Window.partitionBy("host_hash").orderBy(
+        F.col("priority").asc(), F.col("next_fetch_ts").asc(), F.col("url_hash").asc()
+    )
+    ranked = r.withColumn("__rn", F.row_number().over(w))
+    if host_budget is not None:
+        ranked = ranked.join(F.broadcast(host_budget), "host_hash", "left").withColumn(
+            "__cap", F.least(F.lit(k_per_host), F.coalesce(F.col("budget"), F.lit(0)))
+        )
+    else:
+        ranked = ranked.withColumn("__cap", F.lit(k_per_host))
+    popped = ranked.filter(F.col("__rn") <= F.col("__cap")).drop("__rn", "__cap", "budget")
+    if global_k is not None:
+        popped = popped.orderBy(*[F.col(c).asc() for c in POP_ORDER]).limit(global_k)
+    return popped
+
+
+def after_fetch(
+    frontier: DataFrame,
+    fetched: DataFrame,
+    as_of_ts,
+    error_retry_secs: int = 6 * 3600,
+) -> DataFrame:
+    """Write-back of pop visibility (SURVEY §3.2): popped rows get
+    last_fetch_ts = as_of and next_fetch_ts advanced by the staleness
+    policy (success) or an error backoff — the next pop sees the updated
+    state, exactly like the reference where re-selection is prevented only
+    by the scrape's lastCrawl update (src/scraper/channel_scraper.rs:100).
+
+    `fetched` carries url_hash, ok:boolean, refresh_secs:long (staleness
+    threshold from the page age, kernels.staleness_threshold_secs).
+    Returns the new frontier table (MERGE-update via join-rewrite).
+    """
+    upd = fetched.select(
+        "url_hash",
+        F.lit(as_of_ts).cast("timestamp").alias("last_fetch_ts"),
+        F.when(
+            F.col("ok"),
+            F.lit(as_of_ts).cast("timestamp")
+            + F.make_dt_interval(secs=F.col("refresh_secs").cast("double")),
+        )
+        .otherwise(
+            F.lit(as_of_ts).cast("timestamp")
+            + F.make_dt_interval(secs=F.lit(float(error_retry_secs)))
+        )
+        .alias("next_fetch_ts"),
+        F.lit(1).alias("__upd_priority"),
+    )
+    joined = frontier.join(upd, "url_hash", "left")
+    return joined.select(
+        "url",
+        "url_hash",
+        "host",
+        "host_hash",
+        # once fetched, a row becomes an 'update' (recrawl) row
+        F.when(F.col("__upd_priority").isNotNull(), F.lit(PRIORITY_UPDATE))
+        .otherwise(F.col("priority"))
+        .cast("int")
+        .alias("priority"),
+        F.coalesce(upd.next_fetch_ts, frontier.next_fetch_ts).alias("next_fetch_ts"),
+        F.coalesce(upd.last_fetch_ts, frontier.last_fetch_ts).alias("last_fetch_ts"),
+        F.when(F.col("__upd_priority").isNotNull(), F.lit("update"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        "ignore_filter_terms",
+        "depth",
+    )
+
+
+def insert_discovered(frontier: DataFrame, discovered: DataFrame) -> DataFrame:
+    """Add newly admitted URLs (already deduped vs seen) to the frontier.
+    Anti-join guards against same-batch duplicates racing in."""
+    new_rows = discovered.select(*frontier.columns).join(
+        frontier.select("url_hash"), "url_hash", "left_anti"
+    )
+    return frontier.unionByName(new_rows)

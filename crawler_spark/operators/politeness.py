@@ -1,0 +1,57 @@
+"""Per-host politeness tokens (ref: the API-key quota system).
+
+The reference rotates API keys by least-use and resets usage when the
+Pacific calendar day rolls (src/repos/apikeys_repo.rs:25-67,
+src/models/apikey.rs:4-10). Generalized per north_rule to per-HOST
+token budgets: a tiny table (one row per host — even 10^8 hosts is
+GBs, not TBs) that (a) caps each pop via a broadcast join and (b) is
+MERGE-updated with the batch's actual fetch counts using the same
+inc-or-reset day-roll CASE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pacific_day(as_of_ts) -> F.Column:
+    """yyyymmdd in America/Los_Angeles (ref apikeys_repo.rs:40-45)."""
+    return F.date_format(
+        F.from_utc_timestamp(F.lit(as_of_ts).cast("timestamp"), "America/Los_Angeles"),
+        "yyyyMMdd",
+    ).cast("int")
+
+
+def remaining_budget(politeness: DataFrame, as_of_ts) -> DataFrame:
+    """(host_hash, budget) — tokens left today per host. A day roll means
+    the full daily quota is available regardless of stored used_quota."""
+    today = pacific_day(as_of_ts)
+    rolled = F.col("quota_day") < today
+    return politeness.select(
+        "host_hash",
+        F.when(rolled, F.col("daily_quota"))
+        .otherwise(F.greatest(F.col("daily_quota") - F.col("used_quota"), F.lit(0)))
+        .alias("budget"),
+    )
+
+
+def charge(politeness: DataFrame, fetch_counts: DataFrame, as_of_ts) -> DataFrame:
+    """MERGE the batch's per-host fetch counts into the token table with
+    inc-or-reset semantics (ref apikeys_repo.rs:46-59; kernel parity:
+    kernels.quota_roll). `fetch_counts` is (host_hash, n)."""
+    today = pacific_day(as_of_ts)
+    joined = politeness.join(fetch_counts, "host_hash", "left").withColumn(
+        "__n", F.coalesce(F.col("n"), F.lit(0))
+    )
+    rolled = (F.col("quota_day") < today) & (F.col("__n") > 0)
+    return joined.select(
+        "host_hash",
+        F.when(rolled, F.col("__n"))
+        .otherwise(F.col("used_quota") + F.col("__n"))
+        .cast("int")
+        .alias("used_quota"),
+        "daily_quota",
+        F.when(rolled, today).otherwise(F.col("quota_day")).cast("int").alias("quota_day"),
+        "min_delay_ms",
+    )

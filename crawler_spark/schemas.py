@@ -1,0 +1,172 @@
+"""StructType schemas for every engine table (FIXTURES.md §1-11).
+
+The authoritative corpus shape comes from BASELINE.json `input_hint`:
+(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+ caption:string, phash:int64). The crawl-state tables re-express the
+reference's MongoDB collections (SURVEY.md §1.2) as fixed columnar
+schemas — schema-on-write, enforced at every store commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _f(name: str, t, nullable: bool = True) -> StructField:
+    return StructField(name, t, nullable)
+
+
+# BASELINE.json input_hint — the image+caption corpus (ref: `channels` +
+# `videos` corpora, src/repos/channel_repo.rs:17 / video_repo.rs)
+CORPUS = StructType([
+    _f("image_id", StringType(), False),
+    _f("bytes", BinaryType()),
+    _f("w", IntegerType()),
+    _f("h", IntegerType()),
+    _f("fmt", StringType()),
+    _f("caption", StringType()),
+    _f("phash", LongType()),
+])
+
+# priority-queue frontier (ref: `additional` seed set + `channels.lastCrawl`
+# recrawl ordering, src/repos/channel_repo.rs:74-108)
+FRONTIER = StructType([
+    _f("url", StringType(), False),
+    _f("url_hash", LongType(), False),
+    _f("host", StringType()),
+    _f("host_hash", LongType()),
+    _f("priority", IntegerType()),
+    _f("next_fetch_ts", TimestampType()),
+    _f("last_fetch_ts", TimestampType()),
+    _f("source", StringType()),          # seed | discovery | update
+    _f("ignore_filter_terms", BooleanType()),
+    _f("depth", IntegerType()),
+])
+
+# exact URL-seen set (ref: channels.exists + additional.exists +
+# nonsailingchannels, SURVEY §2.3 J2/J3)
+SEEN = StructType([
+    _f("url_hash", LongType(), False),
+    _f("shard_id", IntegerType()),
+    _f("verdict", StringType()),         # accepted | rejected
+    _f("decided_at_ts", TimestampType()),
+])
+
+# serialized per-shard membership sketches (bloom | cuckoo)
+SEEN_SKETCH = StructType([
+    _f("shard_id", IntegerType(), False),
+    _f("kind", StringType()),
+    _f("bits", BinaryType()),
+    _f("n_items", LongType()),
+    _f("snapshot_id", LongType()),
+])
+
+# per-host politeness tokens (ref: `apikeys`, src/models/apikey.rs:4-10)
+POLITENESS = StructType([
+    _f("host_hash", LongType(), False),
+    _f("used_quota", IntegerType()),
+    _f("daily_quota", IntegerType()),
+    _f("quota_day", IntegerType()),      # yyyymmdd America/Los_Angeles
+    _f("min_delay_ms", IntegerType()),
+])
+
+# robots.txt cache (north_rule; generalizes the reference blacklist)
+ROBOTS = StructType([
+    _f("host_hash", LongType(), False),
+    _f("rules", ArrayType(StructType([
+        _f("allow", BooleanType()),
+        _f("path_prefix", StringType()),
+    ]))),
+    _f("fetched_ts", TimestampType()),
+])
+
+FILTER_TERMS = StructType([_f("term", StringType(), False)])
+BLACKLIST = StructType([_f("url_hash", LongType(), False)])
+
+# normalized fetch output per page (ref: `channels` document,
+# src/scraper/channel_scraper.rs:91-129)
+PAGES = StructType([
+    _f("url_hash", LongType(), False),
+    _f("title", StringType()),
+    _f("description", StringType()),
+    _f("country", StringType()),
+    _f("keywords", ArrayType(StringType())),
+    _f("language", StringType()),
+    _f("published_ts", TimestampType()),
+    _f("views", LongType()),
+    _f("subscribers", LongType()),
+    _f("subscribers_hidden", BooleanType()),
+    _f("last_crawl_ts", TimestampType()),
+    _f("item_count", LongType()),
+    _f("last_item_ts", TimestampType()),
+    _f("error_at_ts", TimestampType()),
+    _f("error_msg", StringType()),
+])
+
+# per-page child items (ref: `videos`, src/scraper/video_scraper.rs:85-93)
+ITEMS = StructType([
+    _f("item_id", StringType(), False),
+    _f("url_hash", LongType(), False),
+    _f("title", StringType()),
+    _f("description", StringType()),
+    _f("published_ts", TimestampType()),
+    _f("updated_ts", TimestampType()),
+    _f("views", LongType()),
+])
+
+# daily time-series snapshots (ref: `views`/`subscribers` collections)
+METRICS_DAILY = StructType([
+    _f("url_hash", LongType(), False),
+    _f("yyyymmdd", IntegerType(), False),
+    _f("year", IntegerType()),
+    _f("month", IntegerType()),
+    _f("day", IntegerType()),
+    _f("ts", TimestampType()),
+    _f("views", LongType()),
+    _f("subscribers", LongType()),
+])
+
+# checkpoint / lineage sidecar (ref: settings.lastDiscoveryCrawl watermark)
+SNAPSHOTS_LOG = StructType([
+    _f("snapshot_id", LongType(), False),
+    _f("batch_id", LongType()),
+    _f("as_of_ts", TimestampType()),
+    _f("table_name", StringType()),
+    _f("partition_state_hash", StringType()),
+    _f("fetched", LongType()),
+    _f("errors", LongType()),
+    _f("watermark_ts", TimestampType()),
+])
+
+# discovery link graph (ref: subscriptions API, youtube_service.rs:48-102)
+LINKS = StructType([
+    _f("src_url_hash", LongType(), False),
+    _f("dst_url", StringType()),
+    _f("kind", StringType()),
+])
+
+TABLE_SCHEMAS: dict[str, StructType] = {
+    "corpus": CORPUS,
+    "frontier": FRONTIER,
+    "seen": SEEN,
+    "seen_sketch": SEEN_SKETCH,
+    "politeness": POLITENESS,
+    "robots": ROBOTS,
+    "filter_terms": FILTER_TERMS,
+    "blacklist": BLACKLIST,
+    "pages": PAGES,
+    "items": ITEMS,
+    "metrics_daily": METRICS_DAILY,
+    "snapshots_log": SNAPSHOTS_LOG,
+    "links": LINKS,
+}

@@ -1,0 +1,197 @@
+"""Single-threaded reference-semantics simulator (SURVEY §5.3).
+
+Implements the crawl loop's EXACT semantics in plain Python over the same
+deterministic synthetic web — the parity oracle the Spark engine must
+match batch-for-batch (north_rule: same seed list + politeness budget ⇒
+same crawl ordering and same final URL-seen set):
+
+  * pop order: total order (priority asc, next_fetch_ts asc, url_hash
+    asc), at most k per host per batch, capped by the host's politeness
+    budget (ref channel_repo.rs:74-108 + apikeys quota);
+  * fetch: pure page function; ~2% deterministic 503s;
+  * staleness policy: next_fetch = as_of + threshold(page age)
+    (video_scraper.rs:99-130), error backoff 6 h;
+  * admission: robots longest-prefix → not-seen → blacklist > ignore >
+    term-match precedence (sailing_terms_service.rs:37-77); rejected
+    URLs enter the negative cache forever (nonsailingchannels);
+  * politeness: inc-or-reset on Pacific-day roll (apikeys_repo.rs:39-67).
+
+Everything is pure-Python dict/list state — no Spark imports.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from zoneinfo import ZoneInfo
+
+from crawler_spark import kernels, synth
+
+_PT = ZoneInfo("America/Los_Angeles")
+PRIORITY_SEED = 0
+PRIORITY_DISCOVERY = 1
+PRIORITY_UPDATE = 2
+
+
+def pacific_day(epoch: int) -> int:
+    return int(
+        datetime.fromtimestamp(epoch, tz=timezone.utc).astimezone(_PT).strftime("%Y%m%d")
+    )
+
+
+class CrawlSimulator:
+    def __init__(
+        self,
+        universe: int = 10_000,
+        n_seeds: int = 32,
+        k_per_host: int = 8,
+        tick_secs: int = 6 * 3600,
+        t0_epoch: int = 1_700_000_000,
+    ):
+        self.universe = universe
+        self.k_per_host = k_per_host
+        self.tick_secs = tick_secs
+        self.t0_epoch = t0_epoch
+        self.batch_id = 0
+        self.terms = synth.FILTER_TERM_LIST
+        self.blacklist = set(synth.blacklist_hashes(universe))
+        # frontier: url_hash -> row dict
+        self.frontier: dict[int, dict] = {}
+        # seen: url_hash -> verdict
+        self.seen: dict[int, str] = {}
+        # politeness: host_hash -> [used, daily, day]
+        self.politeness: dict[int, list[int]] = {}
+        for h in range(synth.N_HOSTS):
+            host = f"host{h:03d}.example.com"
+            b = synth.politeness_budget_for_host(host)
+            self.politeness[kernels.url_hash64(host)] = [0, b["daily_quota"], 0]
+        # corpus: image_id -> dict(caption, phash, fmt, w, h, bytes)
+        self.corpus: dict[str, dict] = {}
+        self.pop_log: list[list[int]] = []
+        for url in synth.seed_urls(n_seeds, universe):
+            cu = kernels.canonicalize_url(url)
+            uh = kernels.url_hash64(cu)
+            host = kernels.host_of(cu)
+            self.frontier[uh] = {
+                "url": cu,
+                "url_hash": uh,
+                "host": host,
+                "host_hash": kernels.url_hash64(host),
+                "priority": PRIORITY_SEED,
+                "next_fetch_epoch": t0_epoch,
+                "last_fetch_epoch": None,
+                "source": "seed",
+                "ignore_filter_terms": True,
+                "depth": 0,
+            }
+            self.seen[uh] = "accepted"
+
+    # ------------------------------------------------------------------
+
+    def _pop(self, as_of: int) -> list[dict]:
+        ready = [r for r in self.frontier.values() if r["next_fetch_epoch"] <= as_of]
+        ready.sort(key=lambda r: (r["priority"], r["next_fetch_epoch"], r["url_hash"]))
+        today = pacific_day(as_of)
+        taken_per_host: dict[int, int] = {}
+        out = []
+        for r in ready:
+            hh = r["host_hash"]
+            used, daily, day = self.politeness.get(hh, [0, 0, 0])
+            budget = daily if day < today else max(daily - used, 0)
+            cap = min(self.k_per_host, budget)
+            if taken_per_host.get(hh, 0) < cap:
+                taken_per_host[hh] = taken_per_host.get(hh, 0) + 1
+                out.append(r)
+        return out
+
+    def run_batch(self) -> dict:
+        as_of = self.t0_epoch + self.batch_id * self.tick_secs
+        today = pacific_day(as_of)
+        popped = self._pop(as_of)
+        self.pop_log.append([r["url_hash"] for r in popped])
+
+        n_ok = n_err = 0
+        fetched_pages = []
+        counts: dict[int, int] = {}
+        for r in popped:
+            url = r["url"]
+            counts[r["host_hash"]] = counts.get(r["host_hash"], 0) + 1
+            r["last_fetch_epoch"] = as_of
+            r["priority"] = PRIORITY_UPDATE
+            r["source"] = "update"
+            if synth._rng("err:" + url).random() < 0.02:
+                n_err += 1
+                r["next_fetch_epoch"] = as_of + 6 * 3600
+                continue
+            page = synth.page_for_url(url, self.universe)
+            n_ok += 1
+            age = as_of - page["published_epoch"]
+            thr = int(kernels.staleness_threshold_secs([age])[0])
+            r["next_fetch_epoch"] = as_of + thr
+            fetched_pages.append((r, page))
+            decoded = kernels.decode_image(page["bytes"])
+            self.corpus[url] = {
+                "caption": page["caption"],
+                "phash": kernels.phash64(decoded),
+                "fmt": page["fmt"],
+                "w": page["w"],
+                "h": page["h"],
+                "bytes": page["bytes"],
+            }
+
+        # politeness charge (inc-or-reset)
+        for hh, n in counts.items():
+            used, daily, day = self.politeness[hh]
+            if day < today and n > 0:
+                self.politeness[hh] = [n, daily, today]
+            else:
+                self.politeness[hh] = [used + n, daily, day]
+
+        # discovery: all outlinks of this batch, min depth per canonical URL
+        cand: dict[str, int] = {}
+        for r, page in fetched_pages:
+            for raw in page["outlinks"]:
+                cu = kernels.canonicalize_url(raw)
+                d = r["depth"] + 1
+                cand[cu] = min(cand.get(cu, d), d)
+        n_admitted = n_rejected = 0
+        for cu in cand:
+            uh = kernels.url_hash64(cu)
+            if not synth.robots_allowed(cu):
+                continue
+            if uh in self.seen:
+                continue
+            snippet = synth.page_for_url(cu, self.universe, with_payload=False)
+            text = (snippet["title"] + "\n" + snippet["description"]).lower()
+            admitted = uh not in self.blacklist and any(t in text for t in self.terms)
+            if admitted:
+                n_admitted += 1
+                host = kernels.host_of(cu)
+                self.frontier[uh] = {
+                    "url": cu,
+                    "url_hash": uh,
+                    "host": host,
+                    "host_hash": kernels.url_hash64(host),
+                    "priority": PRIORITY_DISCOVERY,
+                    "next_fetch_epoch": as_of,
+                    "last_fetch_epoch": None,
+                    "source": "discovery",
+                    "ignore_filter_terms": False,
+                    "depth": cand[cu],
+                }
+                self.seen[uh] = "accepted"
+            else:
+                n_rejected += 1
+                self.seen[uh] = "rejected"
+
+        self.batch_id += 1
+        return {
+            "batch_id": self.batch_id - 1,
+            "popped": len(popped),
+            "fetched_ok": n_ok,
+            "errors": n_err,
+            "admitted": n_admitted,
+            "rejected": n_rejected,
+        }
+
+    def run(self, n_batches: int) -> list[dict]:
+        return [self.run_batch() for _ in range(n_batches)]

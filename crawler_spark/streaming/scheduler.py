@@ -1,0 +1,229 @@
+"""The crawl loop: sequential micro-batches over the snapshot store.
+
+One batch = one turn of the reference's producer/consumer machinery
+(SURVEY §3): pop ready URLs (politeness-capped, deterministic order) →
+batched fetch → normalize/decode → MERGE corpus/pages/metrics → discover
+outlinks → robots + seen + classifier admission → MERGE frontier/seen →
+charge politeness → commit ONE atomic snapshot with lineage.
+
+Sequential commits are forced by pop-visibility coupling (SURVEY §3.2:
+the next pop depends on this batch's MERGE, exactly like the reference
+where re-selection is prevented only by the scrape's lastCrawl write) —
+throughput comes from intra-batch parallelism, which is why every stage
+is a partitioned DataFrame op.
+
+Resume (north_rule): state lives ENTIRELY in the store; `CrawlScheduler`
+restarted on an existing root continues from HEAD and produces
+bit-identical tables (tests/test_pipeline_parity.py kills + resumes).
+
+The injected clock (`as_of = t0 + batch_id * tick`) pins the reference's
+`Utc::now()` nondeterminism (SURVEY §2.8 F6).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark import synth
+from crawler_spark.operators import fetch as fetch_op
+from crawler_spark.operators import frontier as frontier_op
+from crawler_spark.operators import normalize, politeness, robots, seen
+from crawler_spark.schemas import SNAPSHOTS_LOG
+from crawler_spark.tables import SnapshotStore, merge_upsert, table_state_hash
+
+
+def _ts(epoch: int) -> datetime:
+    """Injected-clock timestamp (naive UTC; session timezone is UTC)."""
+    return datetime.fromtimestamp(epoch, tz=timezone.utc).replace(tzinfo=None)
+
+
+class CrawlScheduler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        universe: int = 10_000,
+        n_seeds: int = 32,
+        k_per_host: int = 8,
+        tick_secs: int = 6 * 3600,
+        t0_epoch: int = 1_700_000_000,
+        n_shards: int = seen.N_SHARDS_DEFAULT,
+        use_sketch: bool = True,
+        lineage_hashes: bool = True,
+    ):
+        self.spark = spark
+        self.store = SnapshotStore(spark, root)
+        self.universe = universe
+        self.n_seeds = n_seeds
+        self.k_per_host = k_per_host
+        self.tick_secs = tick_secs
+        self.t0_epoch = t0_epoch
+        self.n_shards = n_shards
+        self.use_sketch = use_sketch
+        self.lineage_hashes = lineage_hashes
+
+    # -- bootstrap ----------------------------------------------------------
+
+    def init(self) -> None:
+        """Seed the store (idempotent): frontier=seed list, seen=seeds,
+        robots/politeness/filter_terms/blacklist dims, batch_id=0."""
+        if self.store.snapshot_id > 0:
+            return
+        sp = self.spark
+        fr = synth.build_seed_frontier(sp, self.n_seeds, self.t0_epoch, self.universe)
+        sk = seen.mark_seen(
+            sp, fr.select("url_hash"), as_of_ts=_ts(self.t0_epoch), n_shards=self.n_shards
+        )
+        changed = {
+            "frontier": fr,
+            "seen": sk,
+            "robots": synth.build_robots(sp),
+            "politeness": synth.build_politeness(sp),
+            "filter_terms": synth.build_filter_terms(sp),
+            "blacklist": synth.build_blacklist(sp, self.universe),
+        }
+        if self.use_sketch:
+            changed["seen_sketch"] = seen.build_sketches(sk, self.n_shards, snapshot_id=1)
+        self.store.commit(changed, properties={"batch_id": 0})
+
+    # -- one micro-batch ----------------------------------------------------
+
+    def run_batch(self) -> dict:
+        st = self.store
+        batch_id = int(st.properties().get("batch_id", 0))
+        as_of_epoch = self.t0_epoch + batch_id * self.tick_secs
+        as_of = _ts(as_of_epoch)
+
+        frontier = st.read("frontier")
+        seen_tbl = st.read("seen")
+        corpus = st.read("corpus")
+        pages = st.read("pages")
+        metrics = st.read("metrics_daily")
+        polite = st.read("politeness")
+        robots_tbl = st.read("robots")
+        blacklist = st.read("blacklist")
+        terms = [r["term"] for r in st.read("filter_terms").collect()]
+        sketches = st.read("seen_sketch") if self.use_sketch else None
+
+        # 1. pop (S4/O1/W1 + politeness cap A4)
+        budget = politeness.remaining_budget(polite, as_of)
+        popped = frontier_op.pop(frontier, as_of, self.k_per_host, budget).persist()
+        n_popped = popped.count()
+        if n_popped == 0:
+            st.commit({}, properties={"batch_id": batch_id + 1})
+            return {"batch_id": batch_id, "popped": 0, "fetched_ok": 0,
+                    "errors": 0, "admitted": 0, "rejected": 0}
+
+        # 2. fetch (vectorized; host-partitioned)
+        fetched = fetch_op.fetch(popped, self.universe).persist()
+        n_ok = fetched.filter(F.col("status") == 200).count()
+        n_err = int(n_popped - n_ok)
+
+        # 3. frontier write-back (pop visibility for the NEXT batch)
+        outcome = fetch_op.fetch_outcome(fetched, as_of_epoch)
+        new_frontier = frontier_op.after_fetch(frontier, outcome, as_of)
+
+        # 4. normalize → pages/corpus/metrics MERGEs
+        new_pages = merge_upsert(pages, normalize.to_pages(fetched, as_of), "url_hash")
+        new_corpus = merge_upsert(corpus, normalize.to_corpus(fetched), "image_id")
+        new_metrics = merge_upsert(
+            metrics, normalize.to_metrics(fetched, as_of), ["url_hash", "yyyymmdd"]
+        )
+
+        # 5. discovery admission: explode → robots → seen → classify (P7)
+        cand = normalize.discover_candidates(fetched, self.universe)
+        cand = robots.filter_allowed(cand, robots_tbl)
+        cand = seen.filter_unseen(cand, seen_tbl, sketches, self.n_shards)
+        cand = normalize.admission_verdict(
+            cand.withColumn("ignore_filter_terms", F.lit(False)), terms, blacklist
+        ).persist()
+        admitted = cand.filter(F.col("admitted"))
+        rejected = cand.filter(~F.col("admitted"))
+        n_admitted = admitted.count()
+        n_rejected = rejected.count()
+
+        new_rows = admitted.select(
+            "url",
+            "url_hash",
+            "host",
+            "host_hash",
+            F.lit(frontier_op.PRIORITY_DISCOVERY).cast("int").alias("priority"),
+            F.lit(as_of).cast("timestamp").alias("next_fetch_ts"),
+            F.lit(None).cast("timestamp").alias("last_fetch_ts"),
+            F.lit("discovery").alias("source"),
+            F.lit(False).alias("ignore_filter_terms"),
+            F.col("depth").cast("int"),
+        )
+        new_frontier = frontier_op.insert_discovered(new_frontier, new_rows)
+
+        # 6. seen MERGE (accepted ∪ rejected — the negative cache J3 means
+        # rejected URLs are never re-evaluated, ref nonsailingchannels)
+        seen_add = seen.mark_seen(
+            self.spark,
+            admitted.select("url_hash").withColumn("verdict", F.lit("accepted"))
+            .unionByName(rejected.select("url_hash").withColumn("verdict", F.lit("rejected"))),
+            as_of_ts=as_of,
+            n_shards=self.n_shards,
+        )
+        new_seen = merge_upsert(seen_tbl, seen_add, "url_hash")
+
+        # 7. politeness charge (S16 inc-or-reset)
+        counts = popped.groupBy("host_hash").agg(F.count("*").alias("n"))
+        new_polite = politeness.charge(polite, counts, as_of)
+
+        changed = {
+            "frontier": new_frontier,
+            "seen": new_seen,
+            "pages": new_pages,
+            "corpus": new_corpus,
+            "metrics_daily": new_metrics,
+            "politeness": new_polite,
+        }
+        if self.use_sketch:
+            changed["seen_sketch"] = seen.merge_sketch_tables(
+                sketches,
+                seen.build_sketches(seen_add, self.n_shards),
+                snapshot_id=st.snapshot_id + 1,
+            )
+
+        # 8. lineage row (T2/T7): fetch+error counts, watermark, state hash
+        state_hash = table_state_hash(new_frontier) if self.lineage_hashes else ""
+        log_row = self.spark.createDataFrame(
+            [(st.snapshot_id + 1, batch_id, as_of, "frontier", state_hash,
+              n_ok, n_err, as_of)],
+            SNAPSHOTS_LOG,
+        )
+        changed["snapshots_log"] = st.read("snapshots_log").unionByName(log_row)
+
+        st.commit(changed, properties={"batch_id": batch_id + 1, "watermark_epoch": as_of_epoch})
+        for df in (popped, fetched, cand):
+            df.unpersist()
+        return {
+            "batch_id": batch_id,
+            "popped": int(n_popped),
+            "fetched_ok": int(n_ok),
+            "errors": n_err,
+            "admitted": int(n_admitted),
+            "rejected": int(n_rejected),
+        }
+
+    def run(self, n_batches: int) -> list[dict]:
+        self.init()
+        return [self.run_batch() for _ in range(n_batches)]
+
+    # -- parity surface ------------------------------------------------------
+
+    def popped_order(self, as_of_epoch: int) -> list[int]:
+        """The deterministic pop order for parity checks: url_hashes the
+        NEXT batch would pop, in the total (priority, next_fetch_ts,
+        url_hash) order."""
+        as_of = _ts(as_of_epoch)
+        budget = politeness.remaining_budget(self.store.read("politeness"), as_of)
+        popped = frontier_op.pop(self.store.read("frontier"), as_of, self.k_per_host, budget)
+        rows = popped.orderBy(*[F.col(c).asc() for c in frontier_op.POP_ORDER]).select(
+            "url_hash"
+        ).collect()
+        return [r["url_hash"] for r in rows]

@@ -1,0 +1,265 @@
+"""Deterministic synthetic web — the crawl target (FIXTURES.md §1-6, 11).
+
+The entire "internet" is a pure function of the URL string: page text,
+image payload, caption, outlinks, robots rules and politeness budgets are
+all derived from seeded PRNGs keyed by md5 hashes. That means:
+
+  * the Spark fetch stage (vectorized UDF on executors) and the pure-
+    Python reference simulator evaluate the SAME web with zero shared
+    state and zero I/O — parity tests compare crawl order and seen-set
+    exactly (north_rule);
+  * any scale is addressable (url index space is unbounded) — the
+    10^10-frontier design point just means more indices;
+  * host popularity is Zipf-skewed so hot-host politeness and salting
+    actually get exercised, like real crawl frontiers.
+
+No external data; everything below is generated (seed 42 lineage via md5).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from crawler_spark import kernels
+from crawler_spark.schemas import (
+    BLACKLIST,
+    FILTER_TERMS,
+    FRONTIER,
+    POLITENESS,
+    ROBOTS,
+)
+
+N_HOSTS = 64             # synthetic host universe
+ZIPF_A = 1.3             # host popularity skew (hot-host exercise)
+FILTER_TERM_LIST = ["sailing", "boat", "ocean", "regatta"]
+_VOCAB = (
+    "wind water deck harbor anchor chart tide crew knot mast sail rope "
+    "compass island voyage storm map gear log port"
+).split()
+_COUNTRIES = ["us", "de", "gb", "fr", "nl", None]
+
+
+def _rng(key: str) -> np.random.Generator:
+    return np.random.default_rng(kernels.url_hash64(key) & 0xFFFFFFFF)
+
+
+def host_of_index(i: int) -> str:
+    """Zipf-skewed host assignment: low host ids absorb most URLs."""
+    r = _rng(f"host:{i}")
+    h = min(int(r.zipf(ZIPF_A)) - 1, N_HOSTS - 1)
+    return f"host{h:03d}.example.com"
+
+
+def url_of_index(i: int) -> str:
+    return f"https://{host_of_index(i)}/page/{i}"
+
+
+def index_of_url(url: str) -> int:
+    return int(url.rsplit("/", 1)[-1])
+
+
+# ---------------------------------------------------------------------------
+# page content (what "fetching" a URL returns)
+# ---------------------------------------------------------------------------
+
+def page_for_url(url: str, universe: int = 10_000, with_payload: bool = True) -> dict:
+    """Deterministic page payload for a URL. `universe` bounds outlink
+    targets (the addressable synthetic web for this run).
+
+    `with_payload=False` skips pixel synthesis/encoding (the 'snippet
+    fetch' used for candidate classification — ref: discovery classifies
+    subscription snippets, not full channel fetches,
+    src/crawler/channel_discovery_crawler.rs:66-74). All PRNG draws happen
+    unconditionally so both modes see identical text/links."""
+    r = _rng("page:" + url)
+    has_term = bool(r.random() < 0.7)
+    words = list(r.choice(_VOCAB, size=10))
+    title_words = list(r.choice(_VOCAB, size=4))
+    if has_term:
+        t = FILTER_TERM_LIST[int(r.integers(0, len(FILTER_TERM_LIST)))]
+        title_words.insert(int(r.integers(0, len(title_words))), t)
+    title = " ".join(title_words)
+    description = " ".join(words)
+    caption = f"{title} | img-{kernels.url_hash64(url) & 0xFFFF}"
+    fmt = "jpeg" if r.random() < 0.5 else "png"
+    if with_payload:
+        pixels = kernels.synth_pixels(url)  # independent PRNG stream
+        payload = kernels.encode_image(pixels, fmt)
+        w, h = int(pixels.shape[1]), int(pixels.shape[0])
+    else:
+        payload, w, h = None, 0, 0
+    n_links = int(r.integers(2, 9))
+    outlinks = [url_of_index(int(x)) for x in r.integers(0, universe, size=n_links)]
+    published_epoch = int(1_500_000_000 + r.integers(0, 200_000_000))
+    return {
+        "title": title,
+        "description": description,
+        "caption": caption,
+        "fmt": fmt,
+        "bytes": payload,
+        "w": w,
+        "h": h,
+        "outlinks": outlinks,
+        "published_epoch": published_epoch,
+        "views": int(r.integers(0, 1_000_000)) if r.random() < 0.97 else 0,
+        "subscribers": int(r.integers(0, 100_000)),
+        "subscribers_hidden": bool(r.random() < 0.1),
+        "country": _COUNTRIES[int(r.integers(0, len(_COUNTRIES)))],
+        "keywords_raw": " ".join(words[:3]) + ' "two word"',
+    }
+
+
+def fetch_pages(urls: pd.Series, universe: int = 10_000) -> pd.DataFrame:
+    """Vectorized batch 'HTTP fetch' — the body of the mapInPandas fetch
+    stage (SURVEY §2.10 #2). ~2% of fetches fail deterministically
+    (status 503) to exercise the error path (ref scrapeError,
+    src/scraper/channel_scraper.rs:148-155)."""
+    _none_page = {
+        "title": None, "description": None, "caption": None, "fmt": None,
+        "bytes": None, "w": None, "h": None, "outlinks": None,
+        "published_epoch": None, "views": None, "subscribers": None,
+        "subscribers_hidden": None, "country": None, "keywords_raw": None,
+    }
+    rows = []
+    for url in urls:
+        fail = _rng("err:" + url).random() < 0.02
+        if fail:
+            rows.append({"url": url, "status": 503, "error": "synthetic 503", **_none_page})
+            continue
+        p = page_for_url(url, universe)
+        p["url"] = url
+        p["status"] = 200
+        p["error"] = None
+        rows.append(p)
+    df = pd.DataFrame(rows)
+    # keep int-typed columns object-dtyped so None survives (no NaN floats
+    # that would break Arrow long conversion)
+    for c in ("published_epoch", "views", "subscribers", "w", "h"):
+        df[c] = df[c].map(lambda x: int(x) if pd.notna(x) else None).astype(object)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# robots / politeness / seeds / deny-list
+# ---------------------------------------------------------------------------
+
+def robots_rules_for_host(host: str) -> list[dict]:
+    """Deterministic robots rules: ~25% of hosts disallow a path-prefix
+    band of their /page/ space; everything else allowed (longest-prefix
+    wins, evaluated by operators.robots)."""
+    r = _rng("robots:" + host)
+    rules = [{"allow": True, "path_prefix": "/"}]
+    if r.random() < 0.25:
+        digit = int(r.integers(0, 10))
+        rules.append({"allow": False, "path_prefix": f"/page/{digit}"})
+    return rules
+
+
+def politeness_budget_for_host(host: str) -> dict:
+    r = _rng("quota:" + host)
+    return {
+        "daily_quota": int(r.integers(40, 200)),
+        "min_delay_ms": int(r.choice([100, 250, 500])),
+    }
+
+
+def robots_allowed(url: str) -> bool:
+    """Pure-Python robots verdict (longest matching prefix wins) — shared
+    by simulator and tests; the Spark path computes the same thing
+    set-wise in operators.robots."""
+    s_host = kernels.host_of(url)
+    path = "/" + url.split("://", 1)[-1].split("/", 1)[-1]
+    best, verdict = -1, True
+    for rule in robots_rules_for_host(s_host):
+        p = rule["path_prefix"]
+        if path.startswith(p) and len(p) > best:
+            best, verdict = len(p), rule["allow"]
+    return verdict
+
+
+def seed_urls(n_seeds: int = 32, universe: int = 10_000) -> list[str]:
+    """The reference's `additional` seed list equivalent: deterministic
+    sample of the URL universe (src/crawler/additional_channel_crawler.rs)."""
+    r = _rng(f"seeds:{n_seeds}:{universe}")
+    idx = sorted(set(int(x) for x in r.integers(0, universe, size=n_seeds * 2)))[:n_seeds]
+    return [url_of_index(i) for i in idx]
+
+
+def blacklist_hashes(universe: int = 10_000, frac: float = 0.01) -> list[int]:
+    """Deterministic deny-list: ~1% of the universe (ref `blacklist`)."""
+    r = _rng(f"blacklist:{universe}")
+    idx = sorted(set(int(x) for x in r.integers(0, universe, size=int(universe * frac))))
+    return [kernels.url_hash64(kernels.canonicalize_url(url_of_index(i))) for i in idx]
+
+
+# ---------------------------------------------------------------------------
+# Spark DataFrame builders (initial store state)
+# ---------------------------------------------------------------------------
+
+def frontier_row(url: str, source: str, priority: int, as_of_epoch: int, depth: int = 0) -> dict:
+    cu = kernels.canonicalize_url(url)
+    host = kernels.host_of(cu)
+    return {
+        "url": cu,
+        "url_hash": _i64(kernels.url_hash64(cu)),
+        "host": host,
+        "host_hash": _i64(kernels.url_hash64(host)),
+        "priority": priority,
+        "next_fetch_ts": pd.Timestamp(as_of_epoch, unit="s"),
+        "last_fetch_ts": None,
+        "source": source,
+        "ignore_filter_terms": source == "seed",
+        "depth": depth,
+    }
+
+
+def _i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def build_seed_frontier(
+    spark: SparkSession, n_seeds: int, as_of_epoch: int, universe: int = 10_000
+) -> DataFrame:
+    rows = [frontier_row(u, "seed", 0, as_of_epoch) for u in seed_urls(n_seeds, universe)]
+    return spark.createDataFrame(pd.DataFrame(rows), FRONTIER)
+
+
+def build_robots(spark: SparkSession) -> DataFrame:
+    rows = []
+    for h in range(N_HOSTS):
+        host = f"host{h:03d}.example.com"
+        rows.append({
+            "host_hash": _i64(kernels.url_hash64(host)),
+            "rules": [(r["allow"], r["path_prefix"]) for r in robots_rules_for_host(host)],
+            "fetched_ts": datetime.fromtimestamp(0, tz=timezone.utc).replace(tzinfo=None),
+        })
+    return spark.createDataFrame(rows, ROBOTS)
+
+
+def build_politeness(spark: SparkSession) -> DataFrame:
+    rows = []
+    for h in range(N_HOSTS):
+        host = f"host{h:03d}.example.com"
+        b = politeness_budget_for_host(host)
+        rows.append({
+            "host_hash": _i64(kernels.url_hash64(host)),
+            "used_quota": 0,
+            "daily_quota": b["daily_quota"],
+            "quota_day": 0,
+            "min_delay_ms": b["min_delay_ms"],
+        })
+    return spark.createDataFrame(rows, POLITENESS)
+
+
+def build_filter_terms(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(t,) for t in FILTER_TERM_LIST], FILTER_TERMS)
+
+
+def build_blacklist(spark: SparkSession, universe: int = 10_000) -> DataFrame:
+    return spark.createDataFrame(
+        [(_i64(h),) for h in blacklist_hashes(universe)], BLACKLIST
+    )

@@ -1,0 +1,210 @@
+"""Snapshot table store: Iceberg-semantics over Parquet, no Iceberg jar.
+
+Provides what the crawl engine needs from a table format (SURVEY.md §4
+"custom pieces" #3):
+
+  * **atomic multi-table commits** — a micro-batch updates frontier, seen,
+    corpus, politeness, metrics and the lineage log in ONE snapshot; a
+    reader (or a resumed run) sees either all of it or none of it;
+  * **time travel / resume** — every commit is a numbered manifest; resume
+    = read HEAD (or any older snapshot) and continue;
+  * **MERGE INTO / DELETE** — expressed as join-rewrites
+    (`merge_upsert`, `merge_delete`) executed by Spark, then committed as
+    a new snapshot of the target table;
+  * **bounded file counts** — writers repartition to a configured target
+    so 10^6 commits don't produce 10^9 files (compaction knob).
+
+Layout (all under one root):
+    root/HEAD                      -> text: name of current manifest
+    root/manifests/manifest-N.json -> {snapshot_id, tables:{name:{path,schema}}, properties}
+    root/data/<table>/snap-N/      -> parquet dir written by Spark
+
+Atomicity: data dirs are written first (fresh, never-referenced paths),
+the manifest is written to a temp file, then `os.replace` onto
+`manifests/…` and finally `os.replace` of HEAD — both POSIX-atomic. A
+crash mid-commit leaves HEAD pointing at the previous complete snapshot;
+orphan data dirs are garbage, never corruption. This mirrors Iceberg's
+metadata-pointer swap; a real Iceberg catalog can replace this class
+behind the same API (reference durability contrast: the Rust daemon
+upserts row-at-a-time into MongoDB with no multi-collection atomicity —
+src/repos/channel_repo.rs:132-141).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.schemas import TABLE_SCHEMAS
+
+_EMPTY = "__empty__"
+
+
+class SnapshotStore:
+    """Multi-table snapshot store with atomic commits."""
+
+    def __init__(self, spark: SparkSession, root: str, files_per_table: int = 4):
+        self.spark = spark
+        self.root = root
+        self.files_per_table = files_per_table
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _head_path(self) -> str:
+        return os.path.join(self.root, "HEAD")
+
+    def current_manifest(self) -> dict:
+        head = self._head_path()
+        if not os.path.exists(head):
+            return {"snapshot_id": 0, "tables": {}, "properties": {}}
+        with open(head) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.root, "manifests", name)) as f:
+            return json.load(f)
+
+    def manifest_at(self, snapshot_id: int) -> dict:
+        p = os.path.join(self.root, "manifests", f"manifest-{snapshot_id:08d}.json")
+        with open(p) as f:
+            return json.load(f)
+
+    @property
+    def snapshot_id(self) -> int:
+        return self.current_manifest()["snapshot_id"]
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read a table at HEAD (default) or any retained snapshot
+        (time travel). Missing table -> empty DataFrame with its schema."""
+        m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
+        ent = m["tables"].get(table)
+        if ent is None or ent["path"] == _EMPTY:
+            return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+        return self.spark.read.parquet(os.path.join(self.root, ent["path"]))
+
+    def properties(self, snapshot_id: int | None = None) -> dict:
+        m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
+        return m.get("properties", {})
+
+    # -- write --------------------------------------------------------------
+
+    def commit(
+        self,
+        changed: dict[str, DataFrame],
+        properties: dict | None = None,
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> int:
+        """Atomically commit new versions of `changed` tables; every other
+        table is carried forward from the previous snapshot unchanged.
+
+        `partition_by` maps table -> partition columns (hive layout), used
+        for tables whose readers prune (e.g. metrics_daily by yyyymmdd).
+        """
+        prev = self.current_manifest()
+        sid = prev["snapshot_id"] + 1
+        tables = dict(prev["tables"])
+        partition_by = partition_by or {}
+        for name, df in changed.items():
+            if name not in TABLE_SCHEMAS:
+                raise KeyError(f"unknown table {name!r}")
+            rel = os.path.join("data", name, f"snap-{sid:08d}")
+            full = os.path.join(self.root, rel)
+            pcols = partition_by.get(name)
+            # bound output file count: one commit never fans out to more
+            # files than files_per_table per partition value
+            writer = df.repartition(self.files_per_table).write
+            if pcols:
+                writer = df.repartition(self.files_per_table, *pcols).write.partitionBy(*pcols)
+            writer.mode("overwrite").parquet(full)
+            tables[name] = {"path": rel}
+        props = dict(prev.get("properties", {}))
+        props.update(properties or {})
+        manifest = {
+            "snapshot_id": sid,
+            "committed_at": time.time(),
+            "tables": tables,
+            "properties": props,
+        }
+        mname = f"manifest-{sid:08d}.json"
+        tmp = os.path.join(self.root, "manifests", f".{mname}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.root, "manifests", mname))
+        head_tmp = self._head_path() + ".tmp"
+        with open(head_tmp, "w") as f:
+            f.write(mname)
+        os.replace(head_tmp, self._head_path())
+        return sid
+
+
+# ---------------------------------------------------------------------------
+# MERGE / DELETE as join-rewrites (SURVEY §2.1 S12-S15). These are pure
+# DataFrame transforms; SnapshotStore.commit makes them durable+atomic.
+# ---------------------------------------------------------------------------
+
+def _keys(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key) -> DataFrame:
+    """MERGE INTO target USING updates ON key
+       WHEN MATCHED THEN UPDATE all columns WHEN NOT MATCHED THEN INSERT.
+
+    Implemented as anti-join + union (NOT full-outer): rows of `target`
+    whose key appears in `updates` are replaced wholesale. Equivalent to
+    the reference's `update_one({_id}, {$set: all}, upsert: true)`
+    (src/repos/channel_repo.rs:132-141). The anti-join form shuffles only
+    on the key and preserves target partitioning better than full-outer,
+    and with AQE the (typically small) updates side broadcasts.
+    """
+    ks = _keys(key)
+    cols = target.columns
+    kept = target.join(updates.select(*ks).distinct(), ks, "left_anti")
+    return kept.unionByName(updates.select(*cols))
+
+
+def merge_update_cols(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE ... WHEN MATCHED THEN UPDATE SET <subset of columns> (no
+    insert) — the reference's partial `$set` write-back
+    (src/repos/channel_repo.rs:143-181, S15). `updates` carries `key` +
+    the columns to overwrite; unmatched target rows pass through."""
+    upd_cols = [c for c in updates.columns if c != key]
+    renamed = updates.select(key, *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
+    joined = target.join(renamed, key, "left")
+    out = [
+        (
+            F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
+            if c in upd_cols
+            else F.col(c)
+        )
+        for c in target.columns
+    ]
+    return joined.select(*out)
+
+
+def merge_delete(target: DataFrame, doomed_keys: DataFrame, key) -> DataFrame:
+    """MERGE ... WHEN MATCHED THEN DELETE / DELETE WHERE key IN (...) —
+    the reference's point + predicate deletes incl. cascades
+    (src/repos/additional_channel_repo.rs:36-41, view_repo.rs:20-26)."""
+    ks = _keys(key)
+    return target.join(doomed_keys.select(*ks).distinct(), ks, "left_anti")
+
+
+def table_state_hash(df: DataFrame) -> str:
+    """Order-independent 64-bit content hash of a DataFrame — the
+    per-partition lineage/state hash recorded in snapshots_log so resume
+    runs can prove bit-identity (north_rule). Sum of xxhash64 over all
+    columns: associative/commutative, computed distributed, one number
+    back to the driver."""
+    h = df.select(
+        F.sum(
+            F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).cast("decimal(38,0)")
+        ).alias("h")
+    ).collect()[0]["h"]
+    return format(int(h or 0) & ((1 << 64) - 1), "016x")
