@@ -77,12 +77,18 @@ def fetch(popped: DataFrame, universe: int = 10_000) -> DataFrame:
                     out[f] = None
             yield out[[f.name for f in FETCH_RESULT.fields]]
 
-    # repartition by host_hash: politeness locality — one task talks to a
-    # bounded host set (connection reuse on a real fetcher), and hot hosts
-    # were already capped at k by the pop
+    # Explicit round-robin fan-out: the fetch stage is CPU/latency-bound
+    # per URL, not byte-bound, so (a) AQE's byte-sized coalescing would
+    # collapse a small-in-bytes URL batch into one task, and (b) hashing
+    # on host_hash puts a multinomial key-count skew (~2x with 64 hosts
+    # on 16 partitions) on a stage whose wall time is its slowest task.
+    # Round-robin is perfectly balanced; a real fetcher wanting
+    # per-connection host locality would sortWithinPartitions("host_hash")
+    # afterwards, keeping the balance.
+    n = popped.sparkSession.sparkContext.defaultParallelism
     return (
         popped.select(*_CARRY)
-        .repartition(F.col("host_hash"))
+        .repartition(n)
         .mapInPandas(_fetch, FETCH_RESULT)
     )
 

@@ -61,14 +61,19 @@ def pop(
     w = Window.partitionBy("host_hash").orderBy(
         F.col("priority").asc(), F.col("next_fetch_ts").asc(), F.col("url_hash").asc()
     )
-    ranked = r.withColumn("__rn", F.row_number().over(w))
+    # Filter by the LITERAL k first: Catalyst's InferWindowGroupLimit only
+    # fires on `rank <= literal`, inserting map-side per-group top-k
+    # pruning BEFORE the window shuffle (the window analogue of partial
+    # aggregation) — without it every ready row is shuffled and sorted.
+    # The politeness cap (a per-host column, always <= k) is applied after.
+    ranked = r.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= F.lit(k_per_host)
+    )
     if host_budget is not None:
-        ranked = ranked.join(F.broadcast(host_budget), "host_hash", "left").withColumn(
-            "__cap", F.least(F.lit(k_per_host), F.coalesce(F.col("budget"), F.lit(0)))
+        ranked = ranked.join(F.broadcast(host_budget), "host_hash", "left").filter(
+            F.col("__rn") <= F.least(F.lit(k_per_host), F.coalesce(F.col("budget"), F.lit(0)))
         )
-    else:
-        ranked = ranked.withColumn("__cap", F.lit(k_per_host))
-    popped = ranked.filter(F.col("__rn") <= F.col("__cap")).drop("__rn", "__cap", "budget")
+    popped = ranked.drop("__rn", "budget")
     if global_k is not None:
         popped = popped.orderBy(*[F.col(c).asc() for c in POP_ORDER]).limit(global_k)
     return popped

@@ -116,7 +116,10 @@ def snippet_fetch(urls_df: DataFrame, universe: int = 10_000) -> DataFrame:
                 "description": [p["description"] for p in pages],
             })
 
-    return urls_df.select("url").mapInPandas(_snip, _SNIPPET)
+    # explicit fan-out: upstream is a groupBy whose shuffle AQE coalesces
+    # by BYTES — tiny URL batches would serialize this CPU-bound stage
+    n = urls_df.sparkSession.sparkContext.defaultParallelism
+    return urls_df.select("url").repartition(n).mapInPandas(_snip, _SNIPPET)
 
 
 _DECODE = StructType([
@@ -188,15 +191,27 @@ def to_pages(fetched: DataFrame, as_of_ts) -> DataFrame:
 
 def to_corpus(fetched: DataFrame) -> DataFrame:
     """FETCH_RESULT (status 200) -> corpus rows keyed by canonical URL,
-    phash computed by the decode UDF (the normalize step of input_hint)."""
+    phash computed by decode in the SAME mapInPandas pass (the normalize
+    step of input_hint). Single narrow stage: image payload bytes are
+    never shuffled — at 100 TB the payload column dominates row size, so
+    any join/repartition carrying `bytes` would be the bottleneck."""
     ok = fetched.filter(F.col("status") == 200).select(
         F.col("url").alias("image_id"), "bytes", "w", "h", "fmt", "caption"
     )
-    ph = decode_verify(ok.select("image_id", "bytes"))
-    return (
-        ok.join(ph.select("image_id", "phash"), "image_id")
-        .select(*[f.name for f in CORPUS.fields])
-    )
+    cols = [f.name for f in CORPUS.fields]
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            pdf["phash"] = np.asarray(
+                [kernels.phash64(kernels.decode_image(bytes(b))) for b in pdf["bytes"]],
+                dtype="int64",
+            )
+            yield pdf[cols]
+
+    return ok.mapInPandas(_dec, CORPUS)
 
 
 def to_metrics(fetched: DataFrame, as_of_ts) -> DataFrame:

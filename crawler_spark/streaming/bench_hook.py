@@ -1,0 +1,43 @@
+"""Crawl-pipeline throughput for bench.py (the BASELINE.json metric:
+sustained fetched-URLs/sec + frontier-pop throughput)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+from crawler_spark.streaming.scheduler import CrawlScheduler
+
+BENCH_PARAMS = dict(
+    universe=20_000, n_seeds=96, k_per_host=64, quota_boost=50,
+    use_sketch=True, lineage_hashes=False,
+)
+N_BATCHES = 3
+
+
+def crawl_bench(spark, params: dict | None = None, n_batches: int = N_BATCHES) -> dict:
+    """Run the full micro-batch pipeline (pop → fetch → decode → MERGE →
+    discover → commit) and report end-to-end URLs/sec including snapshot
+    commit overhead."""
+    root = tempfile.mkdtemp(prefix="crawl_bench_")
+    try:
+        s = CrawlScheduler(spark, root, **(params or BENCH_PARAMS))
+        s.init()
+        t0 = time.perf_counter()
+        stats = [s.run_batch() for _ in range(n_batches)]
+        secs = time.perf_counter() - t0
+        popped = sum(x["popped"] for x in stats)
+        ok = sum(x["fetched_ok"] for x in stats)
+        admitted = sum(x["admitted"] for x in stats)
+        return {
+            "crawl_batches": n_batches,
+            "crawl_popped": popped,
+            "crawl_fetched_ok": ok,
+            "crawl_admitted": admitted,
+            "crawl_secs": round(secs, 3),
+            "crawl_fetched_urls_per_sec": round(ok / secs, 2),
+            "crawl_pops_per_sec": round(popped / secs, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

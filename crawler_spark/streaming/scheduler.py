@@ -53,6 +53,7 @@ class CrawlScheduler:
         n_shards: int = seen.N_SHARDS_DEFAULT,
         use_sketch: bool = True,
         lineage_hashes: bool = True,
+        quota_boost: int = 1,
     ):
         self.spark = spark
         self.store = SnapshotStore(spark, root)
@@ -64,6 +65,7 @@ class CrawlScheduler:
         self.n_shards = n_shards
         self.use_sketch = use_sketch
         self.lineage_hashes = lineage_hashes
+        self.quota_boost = quota_boost  # bench knob: scale politeness quotas
 
     # -- bootstrap ----------------------------------------------------------
 
@@ -77,11 +79,16 @@ class CrawlScheduler:
         sk = seen.mark_seen(
             sp, fr.select("url_hash"), as_of_ts=_ts(self.t0_epoch), n_shards=self.n_shards
         )
+        pol = synth.build_politeness(sp)
+        if self.quota_boost != 1:
+            pol = pol.withColumn(
+                "daily_quota", (F.col("daily_quota") * self.quota_boost).cast("int")
+            )
         changed = {
             "frontier": fr,
             "seen": sk,
             "robots": synth.build_robots(sp),
-            "politeness": synth.build_politeness(sp),
+            "politeness": pol,
             "filter_terms": synth.build_filter_terms(sp),
             "blacklist": synth.build_blacklist(sp, self.universe),
         }
