@@ -1,0 +1,348 @@
+"""Multimodal (image) + embedding-similarity operators as registry queries.
+
+Image payloads are opaque `binary` columns with typed metadata
+(input_hint shape); decode / feature-extract / thumbnail run as
+Arrow-batched pandas UDFs over mapInPandas. Real JPEG/PNG codecs are
+STUBBED (kernels.decode_image raises NotImplementedError for real
+containers — no image libs in this sandbox); the deterministic CSRW/CSLY
+containers make the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) real and testable.
+
+Image queries have no SQL oracle (decode is not SQL-expressible) — the
+driver records the weaker rows-only check for them, per contract. The
+embedding queries ARE oracle-checked (cosine math is portable SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from crawler_spark import kernels
+from crawler_spark.queries import _t, register
+from crawler_spark.queries_ml import _PLANES, _bucket_terms_sql
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates (oracle-checked)
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.95
+
+_COSINE_PAIRS_SQL = """
+    WITH nv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(1e-9 + list_sum(list_transform(list_zip(a.v, b.v),
+                                                p -> p[1] * p[2])), 4) AS cosine
+    FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) >= {thr}
+""".format(thr=_COS_THRESHOLD)
+
+
+@register("dedup_embedding_cosine", _COSINE_PAIRS_SQL)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: L2-normalize once, then the pair
+    cosine is a plain dot product. JVM-side (zip_with + aggregate), no
+    Python. At 100 TB the all-pairs join is replaced by the LSH-bucketed
+    candidate join (q_knn_ann_lsh_topk's bucketing) with this exact
+    scorer per bucket — the O(n^2) form is the small-side oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    norm = F.sqrt(dsum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
+    nv = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("v"),
+    )
+    a = nv.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = nv.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = dsum(F.zip_with("va", "vb", lambda x, y: x * y))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("__cos", dot)
+        .filter(F.col("__cos") >= _COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(F.col("__cos") + F.lit(1e-9), 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN top-k (oracle-checked): bucket prune -> exact rescore
+# ---------------------------------------------------------------------------
+
+def _bucket_col():
+    bucket = None
+    for i, p in enumerate(_PLANES):
+        plane = F.array(*[F.lit(x) for x in p])
+        dot = F.aggregate(
+            F.zip_with("embedding", plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
+_ANN_TOPK_SQL = """
+    WITH b AS (SELECT vec_id, embedding, {terms} AS bucket FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+    cand AS (
+      SELECT b.vec_id,
+             list_sum(list_transform(list_zip(b.embedding, q.qv),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+      FROM b, q WHERE b.bucket = q.qb AND b.vec_id != 0
+    )
+    SELECT vec_id, round(1e-9 + sim, 4) AS cosine
+    FROM cand
+    ORDER BY round(1e-9 + sim, 4) DESC, vec_id ASC
+    LIMIT 5
+""".format(terms=_bucket_terms_sql)
+
+
+@register("knn_ann_lsh_topk", _ANN_TOPK_SQL)
+def q_knn_ann_lsh_topk(spark, sf_dir):
+    """ANN query = sign-LSH bucket prune (~2^bits search-space cut) then
+    exact cosine rescore + top-k inside the bucket. The seeded hyperplanes
+    are literals shared with the oracle. This is the scale path whose
+    exact baseline is knn_cosine_topk."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_col())
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = dsum(F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")))
+    ne = F.sqrt(dsum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
+    nq = F.sqrt(dsum(F.transform("qv", lambda x: x.cast("double") * x.cast("double"))))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0))
+        .select("vec_id", F.round(dot / (ne * nq) + F.lit(1e-9), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse-quantizer cells -> probe query's cell -> rescore
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 8
+
+
+def _centroids() -> list[list[float]]:
+    rng = np.random.default_rng(7)
+    return [[round(float(x), 6) for x in rng.standard_normal(64)] for _ in range(_IVF_CELLS)]
+
+
+_CENTROIDS = _centroids()
+
+_cell_dots_sql = ", ".join(
+    "list_sum(list_transform(list_zip(embedding, [{c}]), x -> x[1]::DOUBLE * x[2]::DOUBLE))".format(
+        c=", ".join(f"{v}::DOUBLE" for v in cent)
+    )
+    for cent in _CENTROIDS
+)
+
+_IVF_SQL = """
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             array_position(d, list_max(d)) AS cell
+      FROM (SELECT vec_id, embedding, [{dots}] AS d FROM embeddings)
+    ),
+    q AS (SELECT embedding AS qv, cell AS qc FROM cells WHERE vec_id = 0),
+    cand AS (
+      SELECT c.vec_id,
+             list_sum(list_transform(list_zip(c.embedding, q.qv),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+      FROM cells c, q WHERE c.cell = q.qc AND c.vec_id != 0
+    )
+    SELECT vec_id, round(1e-9 + sim, 4) AS cosine
+    FROM cand
+    ORDER BY round(1e-9 + sim, 4) DESC, vec_id ASC
+    LIMIT 5
+""".format(dots=_cell_dots_sql)
+
+
+@register("knn_ivf_topk", _IVF_SQL)
+def q_knn_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: assign every vector to its nearest of 8 seeded
+    coarse centroids (argmax of dot products — first-occurrence tiebreak,
+    identical in Spark's array_position and DuckDB's), probe the query's
+    cell, exact cosine rescore inside it. At scale the cell id is the
+    partition key: a query touches 1/cells of the corpus. All JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dots = F.array(*[
+        dsum(F.zip_with("embedding", F.array(*[F.lit(v) for v in cent]),
+                        lambda a, b: a.cast("double") * b))
+        for cent in _CENTROIDS
+    ])
+    cells = emb.select(
+        "vec_id", "embedding",
+        F.array_position(dots, F.array_max(dots)).alias("cell"),
+    )
+    q = cells.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("cell").alias("qc")
+    )
+    dot = dsum(F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")))
+    ne = F.sqrt(dsum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
+    nq = F.sqrt(dsum(F.transform("qv", lambda x: x.cast("double") * x.cast("double"))))
+    return (
+        cells.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qc")) & (F.col("vec_id") != 0))
+        .select("vec_id", F.round(dot / (ne * nq) + F.lit(1e-9), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal image pipeline (rows-only checks; decode not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def _image_corpus(spark, sf_dir):
+    """Deterministic image+caption corpus derived from the documents
+    table's doc_ids (ties the row count to the sf), generated inside a
+    mapInPandas stage — the input_hint table shape."""
+    out_schema = StructType([
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+    ])
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                image_id = f"img-{int(doc_id)}"
+                px = kernels.synth_pixels(image_id)
+                fmt = "jpeg" if (kernels.url_hash64(image_id) & 1) else "png"
+                rows.append({
+                    "image_id": image_id,
+                    "bytes": kernels.encode_image(px, fmt),
+                    "w": int(px.shape[1]),
+                    "h": int(px.shape[0]),
+                    "fmt": fmt,
+                    "caption": f"caption of {image_id}",
+                })
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = spark.sparkContext.defaultParallelism
+    return docs.repartition(n).mapInPandas(_gen, out_schema)
+
+
+_DECODE_SCHEMA = StructType([
+    StructField("image_id", StringType(), False),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("fmt", StringType()),
+    StructField("phash", LongType()),
+    StructField("psnr_ok", BooleanType()),
+])
+
+
+@register("image_decode_phash", None)
+def q_image_decode_phash(spark, sf_dir):
+    """Image decode + phash + PSNR gate in one Arrow-batched pass (the
+    multimodal decode/feature-extract plumbing; codec itself is the
+    deterministic stub — kernels.decode_image raises NotImplementedError
+    on real JPEG/PNG). Payload bytes never leave the narrow stage."""
+    corpus = _image_corpus(spark, sf_dir)
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = kernels.decode_image(bytes(r.bytes))
+                src = kernels.synth_pixels(r.image_id)
+                rows.append({
+                    "image_id": r.image_id,
+                    "w": int(px.shape[1]),
+                    "h": int(px.shape[0]),
+                    "fmt": r.fmt,
+                    "phash": np.int64(kernels.phash64(px)),
+                    "psnr_ok": bool(kernels.psnr(src, px) >= 40.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return corpus.mapInPandas(_dec, _DECODE_SCHEMA)
+
+
+_THUMB_SCHEMA = StructType([
+    StructField("image_id", StringType(), False),
+    StructField("thumb_w", IntegerType()),
+    StructField("thumb_h", IntegerType()),
+    StructField("mean_px", DoubleType()),
+    StructField("std_px", DoubleType()),
+])
+
+
+@register("image_thumbnail_stats", None)
+def q_image_thumbnail_stats(spark, sf_dir):
+    """Resize/feature-extract stage: decode -> 8x8 block-mean thumbnail ->
+    summary stats, Arrow-batched (the 'resize / frame-sample' shape for
+    multimodal pipelines; video frame-sampling plugs into the same
+    mapInPandas slot with a frame index column)."""
+    corpus = _image_corpus(spark, sf_dir)
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                px = kernels.decode_image(bytes(r.bytes)).astype("float64")
+                h, w = px.shape
+                ys = np.linspace(0, h, 9, dtype=int)
+                xs = np.linspace(0, w, 9, dtype=int)
+                thumb = np.array([
+                    [px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean() for j in range(8)]
+                    for i in range(8)
+                ])
+                rows.append({
+                    "image_id": r.image_id,
+                    "thumb_w": 8,
+                    "thumb_h": 8,
+                    "mean_px": float(thumb.mean()),
+                    "std_px": float(thumb.std()),
+                })
+            yield pd.DataFrame(rows)
+
+    return corpus.mapInPandas(_thumb, _THUMB_SCHEMA)

@@ -54,6 +54,7 @@ class CrawlScheduler:
         use_sketch: bool = True,
         lineage_hashes: bool = True,
         quota_boost: int = 1,
+        collect_stats: bool = True,
     ):
         self.spark = spark
         self.store = SnapshotStore(spark, root)
@@ -66,6 +67,10 @@ class CrawlScheduler:
         self.use_sketch = use_sketch
         self.lineage_hashes = lineage_hashes
         self.quota_boost = quota_boost  # bench knob: scale politeness quotas
+        # collect_stats=False skips the per-batch counter jobs (admitted/
+        # rejected/ok) — the loop then only pays the n_popped action it
+        # needs for termination; lineage counters become -1
+        self.collect_stats = collect_stats
 
     # -- bootstrap ----------------------------------------------------------
 
@@ -126,8 +131,11 @@ class CrawlScheduler:
 
         # 2. fetch (vectorized; host-partitioned)
         fetched = fetch_op.fetch(popped, self.universe).persist()
-        n_ok = fetched.filter(F.col("status") == 200).count()
-        n_err = int(n_popped - n_ok)
+        if self.collect_stats:
+            n_ok = fetched.filter(F.col("status") == 200).count()
+            n_err = int(n_popped - n_ok)
+        else:
+            n_ok, n_err = -1, -1
 
         # 3. frontier write-back (pop visibility for the NEXT batch)
         outcome = fetch_op.fetch_outcome(fetched, as_of_epoch)
@@ -149,8 +157,11 @@ class CrawlScheduler:
         ).persist()
         admitted = cand.filter(F.col("admitted"))
         rejected = cand.filter(~F.col("admitted"))
-        n_admitted = admitted.count()
-        n_rejected = rejected.count()
+        if self.collect_stats:
+            n_admitted = admitted.count()
+            n_rejected = rejected.count()
+        else:
+            n_admitted = n_rejected = -1
 
         new_rows = admitted.select(
             "url",

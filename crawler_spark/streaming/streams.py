@@ -1,0 +1,132 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The crawl loop itself is driven by CrawlScheduler's sequential snapshot
+commits (pop-visibility forces it — §3.2); these jobs cover the
+reference's *streaming-shaped* semantics with real Structured Streaming
+primitives for continuously-arriving data:
+
+  * T1 trigger cadence      -> micro-batch triggers (availableNow in tests)
+  * T2 watermark            -> withWatermark + windowed aggregation
+  * T3 stateful dedup       -> applyInPandasWithState URL-seen stream
+  * T5 late-data policy     -> watermark drops late events
+
+All sources are file streams over parquet (the testdata tables), sinks
+are memory/noop — swap for Kafka/files in production via options.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-stream source over a directory of event parquet files (one
+    file per trigger — maxFilesPerTrigger bounds batch size like the
+    reference's queue pop). Use stage_events_dir to stream the testdata
+    single-file table."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def stage_events_dir(sf_dir: str, target_dir: str) -> str:
+    """Streaming file sources require a DIRECTORY; symlink the testdata
+    single-file events table into one."""
+    import os
+
+    os.makedirs(target_dir, exist_ok=True)
+    dst = os.path.join(target_dir, "events-000.parquet")
+    if not os.path.exists(dst):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), dst)
+    return target_dir
+
+
+def windowed_counts(events: DataFrame, window: str = "1 day", watermark: str = "2 days") -> DataFrame:
+    """T2/T5: watermarked tumbling-window counts per event_type — the
+    daily-metrics rollup (ref views/subscribers snapshots) as a streaming
+    aggregation; events later than the watermark are dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_DEDUP_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("first_event_id", LongType()),
+    StructField("n_new", LongType()),
+])
+
+_DEDUP_STATE = StructType([StructField("seen_n", LongType())])
+
+
+def stateful_first_seen(events: DataFrame) -> DataFrame:
+    """T3: stateful URL-seen dedup as a stream — emit each key the first
+    time it appears, keep a per-key counter in state across micro-batches
+    (applyInPandasWithState; the streaming twin of operators.seen)."""
+
+    def _fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        total = 0
+        first_id = None
+        for pdf in pdfs:
+            total += len(pdf)
+            if first_id is None and len(pdf):
+                first_id = int(pdf["event_id"].min())
+        out = []
+        if n == 0 and total > 0:
+            out.append({"user_id": key[0], "first_event_id": first_id, "n_new": total})
+        state.update((n + total,))
+        yield pd.DataFrame(out, columns=["user_id", "first_event_id", "n_new"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _fn, _DEDUP_OUT, _DEDUP_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, checkpoint_dir: str):
+    """Drain all available input (availableNow trigger) into a memory
+    sink; returns after the stream completes — deterministic for tests."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if "first_event_id" in df.columns else "complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

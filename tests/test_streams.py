@@ -1,0 +1,55 @@
+"""Structured Streaming surface: watermarked windowed agg and stateful
+first-seen dedup, drained with availableNow and checked against the
+equivalent batch computation on the same input."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.streaming import streams
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    return streams.stage_events_dir(SF_SMALL, str(tmp_path_factory.mktemp("evdir")))
+
+
+@pytest.fixture(scope="module")
+def drained_counts(spark, events_dir, tmp_path_factory):
+    ev = streams.events_stream(spark, events_dir)
+    df = streams.windowed_counts(ev)
+    streams.run_to_memory(df, "win_counts", str(tmp_path_factory.mktemp("ckpt_w")))
+    return spark.sql("SELECT * FROM win_counts").collect()
+
+
+def test_windowed_counts_match_batch(spark, drained_counts):
+    got = {(r["win_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in drained_counts}
+    batch = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+        .collect()
+    )
+    want = {(r["win_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in batch}
+    # single input file + availableNow: no late data beyond watermark, so
+    # the streaming result must equal the batch aggregation exactly
+    assert got == want
+    assert len(got) > 10
+
+
+def test_stateful_first_seen(spark, events_dir, tmp_path_factory):
+    ev = streams.events_stream(spark, events_dir)
+    df = streams.stateful_first_seen(ev.select("user_id", "event_id"))
+    streams.run_to_memory(df, "first_seen", str(tmp_path_factory.mktemp("ckpt_s")))
+    rows = spark.sql("SELECT * FROM first_seen").collect()
+    batch = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("first_event_id"), F.count("*").alias("n_new"))
+        .collect()
+    )
+    got = {r["user_id"]: (r["first_event_id"], r["n_new"]) for r in rows}
+    want = {r["user_id"]: (r["first_event_id"], r["n_new"]) for r in batch}
+    # every key appears exactly once (dedup-with-state), with its first id
+    assert got == want
