@@ -23,17 +23,25 @@ def pacific_day(as_of_ts) -> F.Column:
     ).cast("int")
 
 
-def remaining_budget(politeness: DataFrame, as_of_ts) -> DataFrame:
+def remaining_budget(politeness: DataFrame, as_of_ts, tick_secs: int | None = None) -> DataFrame:
     """(host_hash, budget) — tokens left today per host. A day roll means
-    the full daily quota is available regardless of stored used_quota."""
+    the full daily quota is available regardless of stored used_quota.
+
+    With `tick_secs`, the budget is additionally capped by the per-host
+    min-delay rate: at most floor(tick_secs*1000 / min_delay_ms) fetches
+    fit in one batch window without violating the inter-request delay —
+    the per-host politeness interval the reference approximates with its
+    fixed crawl cadences (SURVEY §2.9 T1)."""
     today = pacific_day(as_of_ts)
     rolled = F.col("quota_day") < today
-    return politeness.select(
-        "host_hash",
+    quota_left = (
         F.when(rolled, F.col("daily_quota"))
         .otherwise(F.greatest(F.col("daily_quota") - F.col("used_quota"), F.lit(0)))
-        .alias("budget"),
     )
+    if tick_secs is not None:
+        rate_cap = F.floor(F.lit(tick_secs * 1000) / F.greatest("min_delay_ms", F.lit(1)))
+        quota_left = F.least(quota_left, rate_cap)
+    return politeness.select("host_hash", quota_left.cast("int").alias("budget"))
 
 
 def charge(politeness: DataFrame, fetch_counts: DataFrame, as_of_ts) -> DataFrame:

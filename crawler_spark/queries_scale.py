@@ -1,0 +1,98 @@
+"""Scale-pattern queries: skew-defusing salted aggregation and the
+reference's composite video-refresh plan (SURVEY §3.3) — oracle-checked.
+
+The salting pattern here is the north_rule's hot-key answer for
+AGGREGATIONS (the frontier pop bounds hot hosts by construction with
+row_number <= k; fetch fan-out is round-robin; this covers the third
+shape: a grouped aggregate where one key dominates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.queries import _t, register
+
+_SALT = 16
+
+
+@register(
+    "salted_heavy_hitters",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_heavy_hitters(spark, sf_dir):
+    """Two-stage salted aggregation over a low-cardinality (hot) key:
+    stage 1 groups by (key, salt) so every reducer sees ~1/SALT of a hot
+    key's rows; stage 2 merges the partials. Results are identical to the
+    direct groupBy — salting is invisible in output, which is exactly
+    what the oracle checks. (Spark's partial/hash agg already map-side
+    combines; explicit salting is the pattern for when the FINAL
+    per-key state is itself too big for one reducer — e.g. collect_set
+    or exact distinct on a hot host at 10^10 scale.)"""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALT))
+    )
+    partial = ev.groupBy("event_type", "__salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 4).alias("total"),
+    )
+
+
+_AS_OF = "2024-01-31 00:00:00"
+_WEEK = 7 * 86400
+
+_REFRESH_SQL = f"""
+    WITH feed AS (
+      SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+    ),
+    existing AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    joined AS (
+      SELECT f.l_orderkey, f.l_linenumber,
+             date_diff('second', f.l_shipdate, TIMESTAMP '{_AS_OF}') AS age_secs,
+             e.o_orderkey IS NULL AS is_new,
+             date_diff('second', e.o_orderdate, TIMESTAMP '{_AS_OF}') AS since_update
+      FROM feed f LEFT JOIN existing e ON f.l_orderkey = e.o_orderkey
+    )
+    SELECT l_orderkey, l_linenumber
+    FROM joined
+    WHERE is_new OR since_update >= (CASE
+        WHEN age_secs >= 24*{_WEEK} THEN 4*{_WEEK}
+        WHEN age_secs >= 4*{_WEEK} THEN {_WEEK}
+        WHEN age_secs >= {_WEEK} THEN 86400
+        ELSE 3*3600 END)
+"""
+
+
+@register("video_refresh_policy", _REFRESH_SQL)
+def q_video_refresh_policy(spark, sf_dir):
+    """The reference's video-refresh dataflow (SURVEY §3.3) as one plan:
+    feed entries LEFT JOIN existing items (J1, broadcast build side —
+    ref video_repo.rs:26-53 HashMap probe), then the age-bucketed
+    staleness predicate P9 (ref video_scraper.rs:99-130) decides which
+    entries to upsert. Single broadcast join + codegen CASE — no shuffle
+    of the feed."""
+    as_of = F.lit(_AS_OF).cast("timestamp")
+    feed = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    existing = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(F.col("o_orderkey").alias("e_key"), "o_orderdate")
+    )
+    j = feed.join(F.broadcast(existing), feed.l_orderkey == existing.e_key, "left")
+    age = F.unix_timestamp(as_of) - F.unix_timestamp("l_shipdate")
+    since = F.unix_timestamp(as_of) - F.unix_timestamp("o_orderdate")
+    thr = (
+        F.when(age >= 24 * _WEEK, F.lit(4 * _WEEK))
+        .when(age >= 4 * _WEEK, F.lit(_WEEK))
+        .when(age >= _WEEK, F.lit(86400))
+        .otherwise(F.lit(3 * 3600))
+    )
+    keep = F.col("e_key").isNull() | (since >= thr)
+    return j.filter(keep).select("l_orderkey", "l_linenumber")

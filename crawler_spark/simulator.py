@@ -60,10 +60,13 @@ class CrawlSimulator:
         self.seen: dict[int, str] = {}
         # politeness: host_hash -> [used, daily, day]
         self.politeness: dict[int, list[int]] = {}
+        self.min_delay: dict[int, int] = {}
         for h in range(synth.N_HOSTS):
             host = f"host{h:03d}.example.com"
             b = synth.politeness_budget_for_host(host)
-            self.politeness[kernels.url_hash64(host)] = [0, b["daily_quota"], 0]
+            hh = kernels.url_hash64(host)
+            self.politeness[hh] = [0, b["daily_quota"], 0]
+            self.min_delay[hh] = b["min_delay_ms"]
         # corpus: image_id -> dict(caption, phash, fmt, w, h, bytes)
         self.corpus: dict[str, dict] = {}
         self.pop_log: list[list[int]] = []
@@ -97,7 +100,9 @@ class CrawlSimulator:
             hh = r["host_hash"]
             used, daily, day = self.politeness.get(hh, [0, 0, 0])
             budget = daily if day < today else max(daily - used, 0)
-            cap = min(self.k_per_host, budget)
+            # min-delay rate cap: fetches that fit one batch window
+            rate_cap = (self.tick_secs * 1000) // max(self.min_delay.get(hh, 1), 1)
+            cap = min(self.k_per_host, budget, rate_cap)
             if taken_per_host.get(hh, 0) < cap:
                 taken_per_host[hh] = taken_per_host.get(hh, 0) + 1
                 out.append(r)

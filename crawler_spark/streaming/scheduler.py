@@ -120,8 +120,8 @@ class CrawlScheduler:
         terms = [r["term"] for r in st.read("filter_terms").collect()]
         sketches = st.read("seen_sketch") if self.use_sketch else None
 
-        # 1. pop (S4/O1/W1 + politeness cap A4)
-        budget = politeness.remaining_budget(polite, as_of)
+        # 1. pop (S4/O1/W1 + politeness cap A4: quota AND min-delay rate)
+        budget = politeness.remaining_budget(polite, as_of, self.tick_secs)
         popped = frontier_op.pop(frontier, as_of, self.k_per_host, budget).persist()
         n_popped = popped.count()
         if n_popped == 0:
@@ -216,7 +216,13 @@ class CrawlScheduler:
         )
         changed["snapshots_log"] = st.read("snapshots_log").unionByName(log_row)
 
-        st.commit(changed, properties={"batch_id": batch_id + 1, "watermark_epoch": as_of_epoch})
+        st.commit(
+            changed,
+            properties={"batch_id": batch_id + 1, "watermark_epoch": as_of_epoch},
+            # day-partitioned metrics: at scale readers prune to the days
+            # they touch instead of scanning the whole history
+            partition_by={"metrics_daily": ["yyyymmdd"]},
+        )
         for df in (popped, fetched, cand):
             df.unpersist()
         return {
@@ -239,7 +245,9 @@ class CrawlScheduler:
         NEXT batch would pop, in the total (priority, next_fetch_ts,
         url_hash) order."""
         as_of = _ts(as_of_epoch)
-        budget = politeness.remaining_budget(self.store.read("politeness"), as_of)
+        budget = politeness.remaining_budget(
+            self.store.read("politeness"), as_of, self.tick_secs
+        )
         popped = frontier_op.pop(self.store.read("frontier"), as_of, self.k_per_host, budget)
         rows = popped.orderBy(*[F.col(c).asc() for c in frontier_op.POP_ORDER]).select(
             "url_hash"

@@ -142,6 +142,39 @@ class SnapshotStore:
         os.replace(head_tmp, self._head_path())
         return sid
 
+    # -- retention ----------------------------------------------------------
+
+    def gc(self, keep_last: int = 2) -> dict:
+        """Expire old snapshots (Iceberg's expire_snapshots): keep the
+        newest `keep_last` manifests, delete older manifests and any data
+        dir no retained manifest references. Carried-forward dirs (an old
+        snap dir still referenced by HEAD) are kept — referenced-set, not
+        age, decides. Bounds store growth for long crawls."""
+        import shutil
+
+        mdir = os.path.join(self.root, "manifests")
+        names = sorted(n for n in os.listdir(mdir) if n.startswith("manifest-"))
+        keep, drop = names[-keep_last:], names[:-keep_last]
+        referenced: set[str] = set()
+        for name in keep:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            for ent in m["tables"].values():
+                if ent["path"] != _EMPTY:
+                    referenced.add(ent["path"])
+        removed_dirs = 0
+        data_root = os.path.join(self.root, "data")
+        for table in os.listdir(data_root):
+            tdir = os.path.join(data_root, table)
+            for snap in os.listdir(tdir):
+                rel = os.path.join("data", table, snap)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(tdir, snap), ignore_errors=True)
+                    removed_dirs += 1
+        for name in drop:
+            os.remove(os.path.join(mdir, name))
+        return {"removed_manifests": len(drop), "removed_data_dirs": removed_dirs}
+
 
 # ---------------------------------------------------------------------------
 # MERGE / DELETE as join-rewrites (SURVEY §2.1 S12-S15). These are pure

@@ -127,6 +127,17 @@ def test_politeness_budget_and_charge(spark):
     assert out[2] == (10, 20231114)      # untouched host unchanged
 
 
+def test_politeness_rate_cap(spark):
+    # min_delay 500ms, tick 2s -> at most 4 fetches per window even with
+    # quota left; host 2 has delay 100ms -> quota (5) binds instead
+    pol = spark.createDataFrame(
+        [(1, 0, 100, 20231114, 500), (2, 5, 10, 20231114, 100)], POLITENESS
+    )
+    b = {r["host_hash"]: r["budget"]
+         for r in politeness.remaining_budget(pol, AS_OF, tick_secs=2).collect()}
+    assert b == {1: 4, 2: 5}
+
+
 def test_robots_longest_prefix(spark):
     host_hash = 77
     rob = spark.createDataFrame(

@@ -1,0 +1,104 @@
+"""Physical-plan audits: the plan-shape guarantees the 100 TB story
+rests on, asserted against Catalyst's actual output (not hoped for).
+
+Each test pins a property that silently regressing would cost orders of
+magnitude at scale: filter/column pushdown into parquet scans, broadcast
+join strategy for small sides, map-side WindowGroupLimit on the frontier
+pop, TakeOrderedAndProject for global top-k, whole-stage codegen on the
+agg hot path, and the no-Python rule for JVM-expressible queries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from tests.conftest import SF_SMALL
+
+QUERIES = E.queries()
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return qe.explainString(jmode)
+
+
+def _spark():
+    from crawler_spark.session import get_spark
+
+    return get_spark("crawler_spark_tests", shuffle_partitions=8)
+
+
+def test_filter_and_column_pushdown():
+    df = QUERIES["filter_range_scan"](_spark(), SF_SMALL)
+    p = plan_str(df)
+    assert "PushedFilters:" in p and "GreaterThanOrEqual" in p
+    # column pruning: the scan must read only the referenced columns
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in rs and "o_comment" not in rs and "o_clerk" not in rs
+
+
+def test_global_topk_is_take_ordered():
+    p = plan_str(QUERIES["frontier_pop_topk"](_spark(), SF_SMALL))
+    assert "TakeOrderedAndProject" in p  # no full sort for sort+limit
+
+
+def test_lookup_join_broadcasts():
+    p = plan_str(QUERIES["lookup_left_join"](_spark(), SF_SMALL))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_anti_join_shape():
+    p = plan_str(QUERIES["seen_anti_join"](_spark(), SF_SMALL))
+    assert "LeftAnti" in p
+
+
+def test_term_theta_join_is_broadcast_nested_loop():
+    p = plan_str(QUERIES["term_theta_join"](_spark(), SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_rollup_has_partial_agg_and_codegen():
+    df = QUERIES["pricing_rollup"](_spark(), SF_SMALL)
+    assert "partial_sum" in plan_str(df)  # map-side combine before shuffle
+    # agg arithmetic compiles into whole-stage codegen subtrees
+    assert "WholeStageCodegen" in plan_str(df, mode="codegen")
+
+
+def test_frontier_pop_has_window_group_limit():
+    from datetime import datetime
+
+    from crawler_spark.operators import frontier as frontier_op
+
+    spark = _spark()
+    fr = spark.range(1000).select(
+        F.format_string("u%d", "id").alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit("h").alias("host"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10)).alias("host_hash"),
+        F.lit(0).cast("int").alias("priority"),
+        F.timestamp_seconds(F.lit(1_600_000_000)).alias("next_fetch_ts"),
+        F.lit(None).cast("timestamp").alias("last_fetch_ts"),
+        F.lit("seed").alias("source"),
+        F.lit(False).alias("ignore_filter_terms"),
+        F.lit(0).alias("depth"),
+    )
+    p = plan_str(frontier_op.pop(fr, datetime(2023, 1, 1), k_per_host=5))
+    assert "WindowGroupLimit" in p  # map-side per-host top-k pruning
+
+
+# queries whose semantics are fully JVM-expressible MUST NOT fall back to
+# Python evaluation (Arrow/pickle row transfer = 10-100x slower)
+_JVM_ONLY = [
+    "pricing_rollup", "count_by_key", "window_topk_per_key", "merge_upsert",
+    "knn_cosine_topk", "knn_lsh_buckets", "knn_ivf_topk", "dedup_minhash_lsh",
+    "dedup_jaccard_pairs", "dedup_simhash", "text_token_stats",
+    "text_quality_score", "text_lang_id", "keyword_tokenize",
+    "salted_heavy_hitters", "video_refresh_policy", "staleness_buckets",
+]
+
+
+@pytest.mark.parametrize("name", _JVM_ONLY)
+def test_no_python_in_jvm_queries(name):
+    p = plan_str(QUERIES[name](_spark(), SF_SMALL), mode="extended")
+    assert "EvalPython" not in p, f"{name} fell back to Python evaluation"

@@ -98,6 +98,22 @@ def test_state_hash_order_independent(spark):
     assert table_state_hash(a) != table_state_hash(c)
 
 
+def test_gc_retention(store, spark):
+    for i in range(4):
+        store.commit({"politeness": _pol(spark, [(i, 0, 10, 0, 100)])})
+    store.commit({"blacklist": spark.createDataFrame([(9,)], "url_hash long")})
+    # snapshot 5 carries politeness snap-4 forward; gc keeps last 2
+    out = store.gc(keep_last=2)
+    assert out["removed_manifests"] == 3
+    # HEAD still reads: carried-forward politeness dir must survive
+    assert store.read("politeness").count() == 1
+    assert store.read("blacklist").count() == 1
+    assert store.read("politeness", snapshot_id=4).count() == 1
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        store.manifest_at(2)
+
+
 def test_partitioned_write(store, spark, tmp_path):
     df = spark.createDataFrame(
         [(1, 20240101, 2024, 1, 1, None, 5, 6), (2, 20240102, 2024, 1, 2, None, 7, 8)],
