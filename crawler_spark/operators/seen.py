@@ -114,6 +114,76 @@ def filter_unseen(
     return definite_new.unionByName(confirmed_new)
 
 
+def remove_from_seen(
+    seen: DataFrame,
+    sketches: DataFrame | None,
+    doomed: DataFrame,
+    n_shards: int = N_SHARDS_DEFAULT,
+    snapshot_id: int = 0,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Delete keys from the seen set AND its sketches (S13 point-delete on
+    crawl state — e.g. operator-forced recrawl reconsideration).
+
+    Bloom filters cannot delete: affected shards are REBUILT from the
+    surviving rows. Cuckoo shards delete in place (their reason to exist
+    — Fan et al. CoNEXT'14); untouched shards pass through unchanged.
+    Returns (new_seen, new_sketches).
+    """
+    new_seen = seen.join(doomed.select("url_hash").distinct(), "url_hash", "left_anti")
+    if sketches is None:
+        return new_seen, None
+    touched = (
+        with_shard(doomed.select("url_hash"), n_shards)
+        .select("shard_id").distinct()
+    )
+    untouched = sketches.join(touched, "shard_id", "left_anti")
+
+    doomed_shards = with_shard(doomed.select("url_hash"), n_shards)
+    spark = seen.sparkSession
+    # doomed batches are operator-sized (not corpus-sized): collect+broadcast
+    rows = doomed_shards.collect()
+    per_shard: dict[int, list[int]] = {}
+    for r in rows:
+        per_shard.setdefault(int(r["shard_id"]), []).append(int(r["url_hash"]))
+    bc = spark.sparkContext.broadcast(per_shard)
+
+    def _rebuild_or_delete(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group = (shard_id) over union of [old sketch row] + [surviving rows]
+        shard = int(pdf["shard_id"].iloc[0])
+        kind_rows = pdf[pdf["kind"].notna()]
+        if len(kind_rows) and kind_rows["kind"].iloc[0] == "cuckoo":
+            f = CuckooFilter.from_bytes(bytes(kind_rows["bits"].iloc[0]))
+            for h in bc.value.get(shard, []):
+                f.delete(h)
+            bits, kind, n = f.to_bytes(), "cuckoo", int(f.n_items)
+        else:
+            f = BloomFilter(BLOOM_BITS, BLOOM_K)
+            keys = pdf.loc[pdf["url_hash"].notna(), "url_hash"].to_numpy(dtype="int64")
+            if keys.size:
+                f.add(keys)
+            bits, kind, n = f.to_bytes(), "bloom", int(keys.size)
+        return pd.DataFrame({
+            "shard_id": [shard], "kind": [kind], "bits": [bits],
+            "n_items": [n], "snapshot_id": [snapshot_id],
+        })
+
+    # one grouped pass per touched shard: the old sketch row (for cuckoo
+    # in-place delete) plus the surviving seen rows (for bloom rebuild)
+    surviving = with_shard(new_seen.select("url_hash"), n_shards).join(
+        touched, "shard_id", "left_semi"
+    ).withColumn("kind", F.lit(None).cast("string")) \
+     .withColumn("bits", F.lit(None).cast("binary")) \
+     .withColumn("n_items", F.lit(None).cast("long")) \
+     .withColumn("snapshot_id", F.lit(None).cast("long"))
+    old_rows = sketches.join(touched, "shard_id", "left_semi").withColumn(
+        "url_hash", F.lit(None).cast("long")
+    )
+    merged = surviving.select("url_hash", "shard_id", "kind", "bits", "n_items", "snapshot_id") \
+        .unionByName(old_rows.select("url_hash", "shard_id", "kind", "bits", "n_items", "snapshot_id"))
+    rebuilt = merged.groupBy("shard_id").applyInPandas(_rebuild_or_delete, SEEN_SKETCH)
+    return new_seen, untouched.unionByName(rebuilt)
+
+
 def merge_sketch_tables(old: DataFrame, new: DataFrame, snapshot_id: int = 0) -> DataFrame:
     """Associative per-shard sketch merge (bloom OR / cuckoo re-add is not
     needed here because deletes rebuild their shard): union the two

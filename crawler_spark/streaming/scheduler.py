@@ -238,6 +238,44 @@ class CrawlScheduler:
         self.init()
         return [self.run_batch() for _ in range(n_batches)]
 
+    def apply_blacklist(self, url_hashes: list[int]) -> dict:
+        """Blacklist URLs mid-crawl with the reference's cascade delete
+        (src/scraper/channel_scraper.rs:161-168: blacklisted channel ->
+        delete channel + views + subscribers + videos): one atomic
+        snapshot removes the rows from frontier, pages, metrics and the
+        corpus, flips their seen verdict to 'rejected' (the negative
+        cache guarantees no re-admission), and MERGEs the deny-list."""
+        from crawler_spark.tables import merge_delete, merge_upsert
+
+        st = self.store
+        spark = self.spark
+        doomed = spark.createDataFrame([(int(h),) for h in url_hashes], "url_hash long")
+        # corpus is keyed by canonical URL string; its md5-hash == url_hash
+        doomed_imgs = (
+            st.read("corpus")
+            .withColumn(
+                "__h", F.conv(F.substring(F.md5("image_id"), 1, 15), 16, 10).cast("long")
+            )
+            .join(doomed, F.col("__h") == F.col("url_hash"), "left_semi")
+            .select("image_id")
+        )
+        rejected = seen.mark_seen(
+            spark,
+            doomed.withColumn("verdict", F.lit("rejected")),
+            as_of_ts=None,
+            n_shards=self.n_shards,
+        )
+        changed = {
+            "frontier": merge_delete(st.read("frontier"), doomed, "url_hash"),
+            "pages": merge_delete(st.read("pages"), doomed, "url_hash"),
+            "metrics_daily": merge_delete(st.read("metrics_daily"), doomed, "url_hash"),
+            "corpus": merge_delete(st.read("corpus"), doomed_imgs, "image_id"),
+            "seen": merge_upsert(st.read("seen"), rejected, "url_hash"),
+            "blacklist": merge_upsert(st.read("blacklist"), doomed, "url_hash"),
+        }
+        st.commit(changed, partition_by={"metrics_daily": ["yyyymmdd"]})
+        return {"blacklisted": len(url_hashes)}
+
     # -- parity surface ------------------------------------------------------
 
     def popped_order(self, as_of_epoch: int) -> list[int]:
