@@ -43,6 +43,37 @@ def q_salted_heavy_hitters(spark, sf_dir):
     )
 
 
+_PAGE = 50
+
+_PAGINATE_SQL = f"""
+    SELECT doc_id, i::INT AS page_no,
+           len(w[(i*{_PAGE}+1):((i+1)*{_PAGE})]) AS n_words
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM documents),
+         LATERAL (SELECT unnest(range(0, greatest(cast(ceil(len(w)/{_PAGE}.0) AS BIGINT), 1))) AS i) t
+"""
+
+
+@register("paginated_explode", _PAGINATE_SQL)
+def q_paginated_explode(spark, sf_dir):
+    """S10: paginated-source explode — a response split into fixed-size
+    pages, one row per page with its index (ref youtube_service.rs:48-102
+    pages subscriptions 50 at a time until no nextPageToken; here the
+    page loop becomes sequence+transform+posexplode, fully JVM-side)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.trim(F.lower("text")), r"\s+")
+    ).withColumn(
+        "n_pages", F.greatest(F.ceil(F.size("w") / _PAGE), F.lit(1)).cast("int")
+    )
+    pages = F.transform(
+        F.sequence(F.lit(0), F.col("n_pages") - 1),
+        lambda i: F.size(F.slice("w", i * _PAGE + 1, _PAGE)),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(pages).alias("page_no", "n_words")
+    ).select("doc_id", "page_no", "n_words")
+
+
 _AS_OF = "2024-01-31 00:00:00"
 _WEEK = 7 * 86400
 

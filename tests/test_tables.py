@@ -114,6 +114,29 @@ def test_gc_retention(store, spark):
         store.manifest_at(2)
 
 
+def test_crash_mid_commit_leaves_head_intact(store, spark):
+    """A crash between data write and HEAD swap must be invisible: HEAD
+    still reads the previous complete snapshot, orphans are garbage not
+    corruption, and the next commit reclaims the orphan manifest name."""
+    import json
+
+    store.commit({"politeness": _pol(spark, [(1, 0, 10, 0, 100)])})
+    # simulate: writer crashed after writing data dir + manifest-2, before
+    # swapping HEAD
+    orphan_data = os.path.join(store.root, "data", "politeness", "snap-00000002")
+    os.makedirs(orphan_data, exist_ok=True)
+    with open(os.path.join(store.root, "manifests", "manifest-00000002.json"), "w") as f:
+        json.dump({"snapshot_id": 2, "tables": {"politeness": {"path": "garbage"}},
+                   "properties": {}}, f)
+    # reader unaffected
+    assert store.snapshot_id == 1
+    assert store.read("politeness").count() == 1
+    # next commit takes sid=2, atomically replacing the orphan manifest
+    sid = store.commit({"politeness": _pol(spark, [(1, 1, 10, 0, 100), (2, 0, 5, 0, 50)])})
+    assert sid == 2
+    assert store.read("politeness").count() == 2
+
+
 def test_partitioned_write(store, spark, tmp_path):
     df = spark.createDataFrame(
         [(1, 20240101, 2024, 1, 1, None, 5, 6), (2, 20240102, 2024, 1, 2, None, 7, 8)],
