@@ -24,25 +24,36 @@ def main(argv=None) -> None:
     p.add_argument("--tick-secs", type=int, default=6 * 3600)
     p.add_argument("--no-sketch", action="store_true")
     p.add_argument("--no-lineage-hash", action="store_true")
+    p.add_argument("--no-discovery", action="store_true")
+    p.add_argument("--no-recrawl", action="store_true")
     p.add_argument("--quota-boost", type=int, default=1)
+    p.add_argument("--config", default=None,
+                   help="JSON config file (CRAWLER_SPARK_* env overrides apply on top)")
     args = p.parse_args(argv)
 
+    from crawler_spark.config import CrawlConfig
     from crawler_spark.session import get_spark
     from crawler_spark.streaming.scheduler import CrawlScheduler
 
+    cfg = CrawlConfig.load(args.config)
+    # explicit CLI flags override config-file/env values
+    cfg.universe = args.universe
+    cfg.n_seeds = args.seeds
+    cfg.k_per_host = args.k_per_host
+    cfg.tick_secs = args.tick_secs
+    cfg.quota_boost = args.quota_boost
+    if args.no_sketch:
+        cfg.use_sketch = False
+    if args.no_lineage_hash:
+        cfg.lineage_hashes = False
+    if args.no_discovery:
+        cfg.enable_discovery = False
+    if args.no_recrawl:
+        cfg.enable_recrawl = False
+
     spark = get_spark("crawler_spark_cli")
     spark.sparkContext.setLogLevel("ERROR")
-    sched = CrawlScheduler(
-        spark,
-        args.root,
-        universe=args.universe,
-        n_seeds=args.seeds,
-        k_per_host=args.k_per_host,
-        tick_secs=args.tick_secs,
-        use_sketch=not args.no_sketch,
-        lineage_hashes=not args.no_lineage_hash,
-        quota_boost=args.quota_boost,
-    )
+    sched = CrawlScheduler(spark, args.root, **cfg.scheduler_kwargs())
     sched.init()
     t0 = time.perf_counter()
     for _ in range(args.batches):

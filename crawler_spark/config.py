@@ -1,0 +1,61 @@
+"""Engine configuration (ref: Figment JSON + env merge, src/main.rs:49-52,
+and the per-producer enable flags of src/models/config.rs:4-9).
+
+Precedence: defaults < JSON file < environment (CRAWLER_SPARK_* vars) —
+the same layering the reference gets from Figment. The three reference
+producers map onto two engine switches:
+
+  enable_discovery — admit outlink candidates (ChannelDiscoveryCrawler,
+                     gated at src/main.rs:157)
+  enable_recrawl   — re-pop already-fetched rows when their staleness
+                     window expires (ChannelUpdateCrawler + NewVideoCrawler,
+                     gates src/main.rs:206,231)
+
+Seeds (AdditionalChannelCrawler, src/main.rs:132) are the store bootstrap
+and always load.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, fields
+
+
+@dataclass
+class CrawlConfig:
+    universe: int = 10_000
+    n_seeds: int = 32
+    k_per_host: int = 8
+    tick_secs: int = 6 * 3600
+    t0_epoch: int = 1_700_000_000
+    n_shards: int = 16
+    use_sketch: bool = True
+    lineage_hashes: bool = True
+    quota_boost: int = 1
+    collect_stats: bool = True
+    enable_discovery: bool = True
+    enable_recrawl: bool = True
+
+    @classmethod
+    def load(cls, json_path: str | None = None, env: dict | None = None) -> "CrawlConfig":
+        vals: dict = {}
+        if json_path:
+            with open(json_path) as f:
+                data = json.load(f)
+            unknown = set(data) - {f.name for f in fields(cls)}
+            if unknown:
+                raise KeyError(f"unknown config keys: {sorted(unknown)}")
+            vals.update(data)
+        env = os.environ if env is None else env
+        for f in fields(cls):
+            key = f"CRAWLER_SPARK_{f.name.upper()}"
+            if key in env:
+                raw = env[key]
+                vals[f.name] = (
+                    raw.lower() in ("1", "true", "yes") if f.type == "bool" else int(raw)
+                )
+        return cls(**vals)
+
+    def scheduler_kwargs(self) -> dict:
+        return {f.name: getattr(self, f.name) for f in fields(self)}

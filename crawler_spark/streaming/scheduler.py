@@ -55,6 +55,8 @@ class CrawlScheduler:
         lineage_hashes: bool = True,
         quota_boost: int = 1,
         collect_stats: bool = True,
+        enable_discovery: bool = True,
+        enable_recrawl: bool = True,
     ):
         self.spark = spark
         self.store = SnapshotStore(spark, root)
@@ -71,6 +73,9 @@ class CrawlScheduler:
         # rejected/ok) — the loop then only pays the n_popped action it
         # needs for termination; lineage counters become -1
         self.collect_stats = collect_stats
+        # producer toggles (ref config.rs:4-9 / main.rs:132-231 gates)
+        self.enable_discovery = enable_discovery
+        self.enable_recrawl = enable_recrawl
 
     # -- bootstrap ----------------------------------------------------------
 
@@ -120,9 +125,14 @@ class CrawlScheduler:
         terms = [r["term"] for r in st.read("filter_terms").collect()]
         sketches = st.read("seen_sketch") if self.use_sketch else None
 
-        # 1. pop (S4/O1/W1 + politeness cap A4: quota AND min-delay rate)
+        # 1. pop (S4/O1/W1 + politeness cap A4: quota AND min-delay rate).
+        # With recrawl disabled only never-fetched rows are eligible
+        # (ref: ChannelUpdateCrawler gate, main.rs:206)
+        pop_src = frontier if self.enable_recrawl else frontier.filter(
+            F.col("last_fetch_ts").isNull()
+        )
         budget = politeness.remaining_budget(polite, as_of, self.tick_secs)
-        popped = frontier_op.pop(frontier, as_of, self.k_per_host, budget).persist()
+        popped = frontier_op.pop(pop_src, as_of, self.k_per_host, budget).persist()
         n_popped = popped.count()
         if n_popped == 0:
             st.commit({}, properties={"batch_id": batch_id + 1})
@@ -148,47 +158,54 @@ class CrawlScheduler:
             metrics, normalize.to_metrics(fetched, as_of), ["url_hash", "yyyymmdd"]
         )
 
-        # 5. discovery admission: explode → robots → seen → classify (P7)
-        cand = normalize.discover_candidates(fetched, self.universe)
-        cand = robots.filter_allowed(cand, robots_tbl)
-        cand = seen.filter_unseen(cand, seen_tbl, sketches, self.n_shards)
-        cand = normalize.admission_verdict(
-            cand.withColumn("ignore_filter_terms", F.lit(False)), terms, blacklist
-        ).persist()
-        admitted = cand.filter(F.col("admitted"))
-        rejected = cand.filter(~F.col("admitted"))
-        if self.collect_stats:
-            vc = {r["admitted"]: r["n"]
-                  for r in cand.groupBy("admitted").agg(F.count("*").alias("n")).collect()}
-            n_admitted = int(vc.get(True, 0))
-            n_rejected = int(vc.get(False, 0))
-        else:
-            n_admitted = n_rejected = -1
+        # 5. discovery admission: explode → robots → seen → classify (P7);
+        # gated by enable_discovery (ref ChannelDiscoveryCrawler flag,
+        # main.rs:157)
+        cand = None
+        n_admitted = n_rejected = 0
+        new_seen = None
+        if self.enable_discovery:
+            cand = normalize.discover_candidates(fetched, self.universe)
+            cand = robots.filter_allowed(cand, robots_tbl)
+            cand = seen.filter_unseen(cand, seen_tbl, sketches, self.n_shards)
+            cand = normalize.admission_verdict(
+                cand.withColumn("ignore_filter_terms", F.lit(False)), terms, blacklist
+            ).persist()
+            admitted = cand.filter(F.col("admitted"))
+            rejected = cand.filter(~F.col("admitted"))
+            if self.collect_stats:
+                vc = {r["admitted"]: r["n"]
+                      for r in cand.groupBy("admitted").agg(F.count("*").alias("n")).collect()}
+                n_admitted = int(vc.get(True, 0))
+                n_rejected = int(vc.get(False, 0))
+            else:
+                n_admitted = n_rejected = -1
 
-        new_rows = admitted.select(
-            "url",
-            "url_hash",
-            "host",
-            "host_hash",
-            F.lit(frontier_op.PRIORITY_DISCOVERY).cast("int").alias("priority"),
-            F.lit(as_of).cast("timestamp").alias("next_fetch_ts"),
-            F.lit(None).cast("timestamp").alias("last_fetch_ts"),
-            F.lit("discovery").alias("source"),
-            F.lit(False).alias("ignore_filter_terms"),
-            F.col("depth").cast("int"),
-        )
-        new_frontier = frontier_op.insert_discovered(new_frontier, new_rows)
+            new_rows = admitted.select(
+                "url",
+                "url_hash",
+                "host",
+                "host_hash",
+                F.lit(frontier_op.PRIORITY_DISCOVERY).cast("int").alias("priority"),
+                F.lit(as_of).cast("timestamp").alias("next_fetch_ts"),
+                F.lit(None).cast("timestamp").alias("last_fetch_ts"),
+                F.lit("discovery").alias("source"),
+                F.lit(False).alias("ignore_filter_terms"),
+                F.col("depth").cast("int"),
+            )
+            new_frontier = frontier_op.insert_discovered(new_frontier, new_rows)
 
-        # 6. seen MERGE (accepted ∪ rejected — the negative cache J3 means
-        # rejected URLs are never re-evaluated, ref nonsailingchannels)
-        seen_add = seen.mark_seen(
-            self.spark,
-            admitted.select("url_hash").withColumn("verdict", F.lit("accepted"))
-            .unionByName(rejected.select("url_hash").withColumn("verdict", F.lit("rejected"))),
-            as_of_ts=as_of,
-            n_shards=self.n_shards,
-        )
-        new_seen = merge_upsert(seen_tbl, seen_add, "url_hash")
+            # 6. seen MERGE (accepted ∪ rejected — the negative cache J3
+            # means rejected URLs are never re-evaluated, ref
+            # nonsailingchannels)
+            seen_add = seen.mark_seen(
+                self.spark,
+                admitted.select("url_hash").withColumn("verdict", F.lit("accepted"))
+                .unionByName(rejected.select("url_hash").withColumn("verdict", F.lit("rejected"))),
+                as_of_ts=as_of,
+                n_shards=self.n_shards,
+            )
+            new_seen = merge_upsert(seen_tbl, seen_add, "url_hash")
 
         # 7. politeness charge (S16 inc-or-reset)
         counts = popped.groupBy("host_hash").agg(F.count("*").alias("n"))
@@ -196,18 +213,19 @@ class CrawlScheduler:
 
         changed = {
             "frontier": new_frontier,
-            "seen": new_seen,
             "pages": new_pages,
             "corpus": new_corpus,
             "metrics_daily": new_metrics,
             "politeness": new_polite,
         }
-        if self.use_sketch:
-            changed["seen_sketch"] = seen.merge_sketch_tables(
-                sketches,
-                seen.build_sketches(seen_add, self.n_shards),
-                snapshot_id=st.snapshot_id + 1,
-            )
+        if new_seen is not None:
+            changed["seen"] = new_seen
+            if self.use_sketch:
+                changed["seen_sketch"] = seen.merge_sketch_tables(
+                    sketches,
+                    seen.build_sketches(seen_add, self.n_shards),
+                    snapshot_id=st.snapshot_id + 1,
+                )
 
         # 8. lineage row (T2/T7): fetch+error counts, watermark, state hash
         state_hash = table_state_hash(new_frontier) if self.lineage_hashes else ""
@@ -226,7 +244,8 @@ class CrawlScheduler:
             partition_by={"metrics_daily": ["yyyymmdd"]},
         )
         for df in (popped, fetched, cand):
-            df.unpersist()
+            if df is not None:
+                df.unpersist()
         return {
             "batch_id": batch_id,
             "popped": int(n_popped),

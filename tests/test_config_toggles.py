@@ -1,0 +1,61 @@
+"""Config layering (JSON < env) and the producer enable flags
+(ref src/models/config.rs:4-9 / src/main.rs gates)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from crawler_spark.config import CrawlConfig
+from crawler_spark.streaming.scheduler import CrawlScheduler
+
+PARAMS = dict(universe=400, n_seeds=10, k_per_host=4, tick_secs=3600,
+              use_sketch=False, lineage_hashes=False)
+
+
+def test_config_layering(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"universe": 123, "enable_discovery": False}))
+    cfg = CrawlConfig.load(str(p), env={"CRAWLER_SPARK_UNIVERSE": "456",
+                                        "CRAWLER_SPARK_ENABLE_RECRAWL": "false"})
+    assert cfg.universe == 456            # env beats file
+    assert cfg.enable_discovery is False  # file beats default
+    assert cfg.enable_recrawl is False    # env beats default
+    assert cfg.k_per_host == 8            # default survives
+
+
+def test_config_rejects_unknown_keys(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"not_a_knob": 1}))
+    import pytest
+    with pytest.raises(KeyError):
+        CrawlConfig.load(str(p), env={})
+
+
+def test_discovery_disabled_admits_nothing(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("nodisc"))
+    s = CrawlScheduler(spark, root, enable_discovery=False, **PARAMS)
+    s.init()
+    st1 = s.run_batch()
+    st2 = s.run_batch()
+    assert st1["admitted"] == 0 and st2["admitted"] == 0
+    # frontier holds exactly the seeds, seen never grew
+    assert s.store.read("frontier").count() == 10
+    assert s.store.read("seen").count() == 10
+    assert all(r["source"] in ("seed", "update")
+               for r in s.store.read("frontier").select("source").collect())
+
+
+def test_recrawl_disabled_never_repops(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("norecrawl"))
+    # tick of a full day >> every staleness threshold's 3h minimum, so
+    # WITH recrawl the same rows would re-pop; with it disabled they must not
+    s = CrawlScheduler(spark, root, enable_discovery=False, enable_recrawl=False,
+                       universe=400, n_seeds=10, k_per_host=4,
+                       tick_secs=5 * 86400, use_sketch=False, lineage_hashes=False)
+    s.init()
+    st1 = s.run_batch()
+    assert st1["popped"] > 0
+    st2 = s.run_batch()
+    assert st2["popped"] == 0  # everything already fetched once
+    fetched_rows = s.store.read("frontier").filter(F.col("last_fetch_ts").isNotNull())
+    assert fetched_rows.count() == st1["popped"]
