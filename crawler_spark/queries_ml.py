@@ -118,24 +118,38 @@ _JACCARD_SQL = """
 @register("dedup_jaccard_pairs", _JACCARD_SQL)
 def q_dedup_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup pairs: explode 3-word shingles to 60-bit
-    hashes (narrow shuffle keys), drop hot shingles (doc-frequency cap —
-    the dedup analogue of hot-host skew salting), self-join on hash,
-    Jaccard = |A∩B|/(|A|+|B|-|A∩B|)."""
+    hashes, group per shingle into a posting list (collect_set = the
+    DISTINCT), drop hot shingles (doc-frequency cap — the dedup analogue
+    of hot-host skew salting), then generate co-occurring pairs INSIDE
+    each posting row (array comprehension) instead of a hash self-join:
+    one shuffle on sh_h replaces the join's two, and pair fan-out is
+    bounded by cap^2 per shingle. Jaccard = |A∩B|/(|A|+|B|-|A∩B|)."""
     docs = _docs(spark, sf_dir)
-    sh = (
-        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
-        .select("doc_id", md5h(F.col("shingle")).alias("sh_h"))
-        .distinct()
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).select("doc_id", md5h(F.col("shingle")).alias("sh_h"))
+    postings = (
+        sh.groupBy("sh_h").agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") <= _STOP_SHINGLE_DF)
+        .select(F.array_sort("docs").alias("docs"))
+        .persist()  # feeds both sizes and pairs
     )
-    rare = sh.groupBy("sh_h").count().filter(F.col("count") <= _STOP_SHINGLE_DF).select("sh_h")
-    # shr feeds sizes + both self-join sides: persist, don't recompute
-    shr = sh.join(F.broadcast(rare), "sh_h").persist()
-    sizes = shr.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shr.select(F.col("doc_id").alias("doc_a"), "sh_h")
-    b = shr.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    sizes = postings.select(F.explode("docs").alias("doc_id")).groupBy("doc_id").agg(
+        F.count("*").alias("n")
+    )
+    # all ordered pairs (a<b) within one posting list, generated row-local
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "sh_h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        postings.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from datetime import datetime, timezone
 from zoneinfo import ZoneInfo
 
+import pandas as pd
+
 from crawler_spark import kernels, synth
 
 _PT = ZoneInfo("America/Los_Angeles")
@@ -69,6 +71,8 @@ class CrawlSimulator:
             self.min_delay[hh] = b["min_delay_ms"]
         # corpus: image_id -> dict(caption, phash, fmt, w, h, bytes)
         self.corpus: dict[str, dict] = {}
+        # pages: url_hash -> normalized page row (the `channels` document)
+        self.pages: dict[int, dict] = {}
         self.pop_log: list[list[int]] = []
         for url in synth.seed_urls(n_seeds, universe):
             cu = kernels.canonicalize_url(url)
@@ -126,6 +130,12 @@ class CrawlSimulator:
             if synth._rng("err:" + url).random() < 0.02:
                 n_err += 1
                 r["next_fetch_epoch"] = as_of + 6 * 3600
+                self.pages[r["url_hash"]] = {
+                    "title": None, "country": None, "keywords": [],
+                    "language": None, "published_epoch": None, "views": None,
+                    "subscribers": 0, "item_count": 0,
+                    "error_msg": "synthetic 503",
+                }
                 continue
             page = synth.page_for_url(url, self.universe)
             n_ok += 1
@@ -133,6 +143,19 @@ class CrawlSimulator:
             thr = int(kernels.staleness_threshold_secs([age])[0])
             r["next_fetch_epoch"] = as_of + thr
             fetched_pages.append((r, page))
+            self.pages[r["url_hash"]] = {
+                "title": page["title"],
+                "country": page["country"].lower() if page["country"] else None,
+                "keywords": kernels.tokenize_keywords(page["keywords_raw"]),
+                "language": kernels.detect_language(
+                    pd.Series([page["title"] + "\n" + page["description"]])
+                ).iloc[0],
+                "published_epoch": page["published_epoch"],
+                "views": page["views"],
+                "subscribers": page["subscribers"],
+                "item_count": 0,
+                "error_msg": None,
+            }
             decoded = kernels.decode_image(page["bytes"])
             self.corpus[url] = {
                 "caption": page["caption"],

@@ -101,6 +101,28 @@ def test_corpus_captions_phash_and_pixels(engine_and_sim):
         assert kernels.psnr(src, px_e) >= 40.0             # PSNR invariant
 
 
+def test_pages_normalization_matches(engine_and_sim):
+    """Cross-validates the Spark-side normalize expressions (keyword
+    regexp_extract_all, language pandas UDF, lowercase/casts) against the
+    pure kernels the simulator calls directly."""
+    eng, sim, *_ = engine_and_sim
+    rows = eng.store.read("pages").collect()
+    eng_pages = {r["url_hash"]: r for r in rows}
+    assert set(eng_pages) == set(sim.pages)
+    for uh, sp in sim.pages.items():
+        e = eng_pages[uh]
+        assert e["title"] == sp["title"]
+        assert e["country"] == sp["country"]
+        assert list(e["keywords"] or []) == sp["keywords"]
+        assert e["language"] == sp["language"]
+        assert e["views"] == sp["views"]
+        assert e["subscribers"] == sp["subscribers"]
+        assert e["error_msg"] == sp["error_msg"]
+        if sp["published_epoch"] is not None:
+            got = int(e["published_ts"].replace(tzinfo=timezone.utc).timestamp())
+            assert got == sp["published_epoch"]
+
+
 def test_politeness_ledger_matches(engine_and_sim):
     eng, sim, *_ = engine_and_sim
     rows = eng.store.read("politeness").collect()
