@@ -43,6 +43,54 @@ def q_salted_heavy_hitters(spark, sf_dir):
     )
 
 
+@register(
+    "rollup_metrics",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(strftime(ts, '%Y%m%d')::INT, -1) AS yyyymmdd,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY ROLLUP(event_type, strftime(ts, '%Y%m%d')::INT)
+    """,
+)
+def q_rollup_metrics(spark, sf_dir):
+    """ROLLUP over the metrics dimensions (type, day) — subtotals + grand
+    total in one pass (Catalyst expands grouping sets; the reference has
+    no such operator, Spark gives it free — SURVEY §2.4 note)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "yyyymmdd", F.date_format("ts", "yyyyMMdd").cast("int")
+    )
+    return (
+        ev.rollup("event_type", "yyyymmdd")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("yyyymmdd", F.lit(-1)).alias("yyyymmdd"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "distinct_frontier_cardinality",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_frontier_cardinality(spark, sf_dir):
+    """Exact distinct-count per key (frontier-cardinality metrics shape;
+    Catalyst plans expand+two-phase agg). The approximate cousin is
+    approx_count_distinct (HLL) — not oracle-comparable across engines,
+    so the exact form is the checked one."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 _PAGE = 50
 
 _PAGINATE_SQL = f"""

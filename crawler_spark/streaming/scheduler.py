@@ -234,14 +234,15 @@ class CrawlScheduler:
               n_ok, n_err, as_of)],
             SNAPSHOTS_LOG,
         )
-        changed["snapshots_log"] = st.read("snapshots_log").unionByName(log_row)
-
         st.commit(
             changed,
             properties={"batch_id": batch_id + 1, "watermark_epoch": as_of_epoch},
             # day-partitioned metrics: at scale readers prune to the days
             # they touch instead of scanning the whole history
             partition_by={"metrics_daily": ["yyyymmdd"]},
+            # lineage log is grow-only: append the batch row as a delta
+            # file (O(1) per commit) instead of rewriting the whole log
+            append={"snapshots_log": log_row},
         )
         for df in (popped, fetched, cand):
             if df is not None:

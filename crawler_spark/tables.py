@@ -81,11 +81,16 @@ class SnapshotStore:
 
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
         """Read a table at HEAD (default) or any retained snapshot
-        (time travel). Missing table -> empty DataFrame with its schema."""
+        (time travel). Missing table -> empty DataFrame with its schema.
+        Append-mode tables read as the union of their delta files."""
         m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
         ent = m["tables"].get(table)
-        if ent is None or ent["path"] == _EMPTY:
+        if ent is None or ent.get("path") == _EMPTY:
             return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+        if "paths" in ent:
+            return self.spark.read.parquet(
+                *[os.path.join(self.root, p) for p in ent["paths"]]
+            )
         return self.spark.read.parquet(os.path.join(self.root, ent["path"]))
 
     def properties(self, snapshot_id: int | None = None) -> dict:
@@ -99,12 +104,18 @@ class SnapshotStore:
         changed: dict[str, DataFrame],
         properties: dict | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        append: dict[str, DataFrame] | None = None,
     ) -> int:
         """Atomically commit new versions of `changed` tables; every other
         table is carried forward from the previous snapshot unchanged.
 
         `partition_by` maps table -> partition columns (hive layout), used
         for tables whose readers prune (e.g. metrics_daily by yyyymmdd).
+
+        `append` tables get ONLY the new rows written (a delta file added
+        to the manifest's path list) — O(batch) not O(table) per commit,
+        for grow-only tables like the lineage log. Don't mix a table in
+        both `changed` and `append`.
         """
         prev = self.current_manifest()
         sid = prev["snapshot_id"] + 1
@@ -140,6 +151,21 @@ class SnapshotStore:
             for item in changed.items():
                 name, rel = _write(item)
                 tables[name] = {"path": rel}
+        for name, df in (append or {}).items():
+            if name in changed:
+                raise ValueError(f"table {name!r} in both changed and append")
+            rel = os.path.join("data", name, f"snap-{sid:08d}")
+            df.coalesce(1).write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            prev_ent = tables.get(name)
+            if prev_ent is None:
+                prev_paths = []
+            elif "paths" in prev_ent:
+                prev_paths = prev_ent["paths"]
+            elif prev_ent["path"] != _EMPTY:
+                prev_paths = [prev_ent["path"]]
+            else:
+                prev_paths = []
+            tables[name] = {"paths": prev_paths + [rel]}
         props = dict(prev.get("properties", {}))
         props.update(properties or {})
         manifest = {
@@ -177,7 +203,9 @@ class SnapshotStore:
             with open(os.path.join(mdir, name)) as f:
                 m = json.load(f)
             for ent in m["tables"].values():
-                if ent["path"] != _EMPTY:
+                if "paths" in ent:
+                    referenced.update(ent["paths"])
+                elif ent["path"] != _EMPTY:
                     referenced.add(ent["path"])
         removed_dirs = 0
         data_root = os.path.join(self.root, "data")

@@ -114,6 +114,26 @@ def test_gc_retention(store, spark):
         store.manifest_at(2)
 
 
+def test_append_mode_log(store, spark):
+    from crawler_spark.schemas import SNAPSHOTS_LOG
+
+    def row(i):
+        return spark.createDataFrame([(i, i, None, "frontier", "", 1, 0, None)], SNAPSHOTS_LOG)
+
+    for i in range(3):
+        store.commit({}, append={"snapshots_log": row(i)})
+    log = store.read("snapshots_log")
+    assert sorted(r["snapshot_id"] for r in log.collect()) == [0, 1, 2]
+    # time travel sees the prefix
+    assert store.read("snapshots_log", snapshot_id=2).count() == 2
+    # gc keeps every delta the retained manifests reference
+    store.gc(keep_last=1)
+    assert sorted(r["snapshot_id"] for r in store.read("snapshots_log").collect()) == [0, 1, 2]
+    import pytest as _p
+    with _p.raises(ValueError):
+        store.commit({"snapshots_log": row(9)}, append={"snapshots_log": row(9)})
+
+
 def test_crash_mid_commit_leaves_head_intact(store, spark):
     """A crash between data write and HEAD swap must be invisible: HEAD
     still reads the previous complete snapshot, orphans are garbage not
