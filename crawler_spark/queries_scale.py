@@ -44,6 +44,37 @@ def q_salted_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "merge_partial_update",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, 'P' AS new_status
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT b.o_orderkey,
+           coalesce(u.new_status, b.o_orderstatus) AS o_orderstatus,
+           round(b.o_totalprice, 4) AS o_totalprice
+    FROM orders b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_partial_update(spark, sf_dir):
+    """S15: MERGE ... WHEN MATCHED THEN UPDATE SET <subset> (no insert) —
+    the reference's partial $set write-back (channel_repo.rs:143-181).
+    Exactly what tables.merge_update_cols executes: left join + coalesce
+    per updated column, untouched columns pass through."""
+    from crawler_spark.tables import merge_update_cols
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+    updates = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", F.lit("P").alias("o_orderstatus"))
+    )
+    return merge_update_cols(orders, updates, "o_orderkey")
+
+
+@register(
     "rollup_metrics",
     """
     SELECT coalesce(event_type, '<all>') AS event_type,

@@ -274,6 +274,24 @@ def merge_delete(target: DataFrame, doomed_keys: DataFrame, key) -> DataFrame:
     return target.join(doomed_keys.select(*ks).distinct(), ks, "left_anti")
 
 
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, n_buckets: int = 16
+) -> None:
+    """Persist a table bucketed+sorted on its join key. Joins between
+    tables bucketed the same way need NO shuffle on either side (the
+    Exchange disappears from the plan — asserted in tests/test_plans.py).
+    This is the co-located-join layout for the big stable joins at 10^10
+    scale: seen⋈candidates, frontier⋈politeness — bucket once, join
+    shuffle-free every batch thereafter."""
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def table_state_hash(df: DataFrame) -> str:
     """Order-independent 64-bit content hash of a DataFrame — the
     per-partition lineage/state hash recorded in snapshots_log so resume

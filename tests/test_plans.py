@@ -87,6 +87,29 @@ def test_frontier_pop_has_window_group_limit():
     assert "WindowGroupLimit" in p  # map-side per-host top-k pruning
 
 
+def test_bucketed_join_has_no_shuffle():
+    """Co-located join: two tables bucketed+sorted on the join key join
+    with ZERO Exchange — the layout for stable big-big joins at scale."""
+    from crawler_spark.tables import write_bucketed
+
+    spark = _spark()
+    a = spark.range(10_000).select(F.col("id").alias("url_hash"), F.lit("a").alias("va"))
+    b = spark.range(5_000).select(F.col("id").alias("url_hash"), F.lit("b").alias("vb"))
+    write_bucketed(a, "bk_a", "url_hash", 8)
+    write_bucketed(b, "bk_b", "url_hash", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "url_hash")
+        p = plan_str(joined)
+        assert "Exchange" not in p, "bucketed join still shuffles"
+        assert joined.count() == 5_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
 # queries whose semantics are fully JVM-expressible MUST NOT fall back to
 # Python evaluation (Arrow/pickle row transfer = 10-100x slower)
 _JVM_ONLY = [
