@@ -38,6 +38,31 @@ def test_windowed_counts_match_batch(spark, drained_counts):
     assert len(got) > 10
 
 
+def test_streaming_driven_crawl_loop(spark, tmp_path_factory):
+    """The crawl advances when driven by a Structured Streaming trigger
+    (rate source + foreachBatch), and the result equals a directly-driven
+    run — the trigger is only a clock."""
+    from crawler_spark.streaming.loop import run_streaming_loop
+    from crawler_spark.streaming.scheduler import CrawlScheduler
+    from crawler_spark.tables import table_state_hash
+
+    P = dict(universe=300, n_seeds=8, k_per_host=4, tick_secs=6 * 3600,
+             use_sketch=False, lineage_hashes=False)
+    root_s = str(tmp_path_factory.mktemp("stream_loop"))
+    sched = CrawlScheduler(spark, root_s, **P)
+    reached = run_streaming_loop(
+        sched, str(tmp_path_factory.mktemp("ckpt_loop")), n_batches=2
+    )
+    assert reached >= 2
+    root_d = str(tmp_path_factory.mktemp("direct_loop"))
+    direct = CrawlScheduler(spark, root_d, **P)
+    direct.init()
+    for _ in range(reached):
+        direct.run_batch()
+    for t in ("frontier", "seen", "corpus"):
+        assert table_state_hash(sched.store.read(t)) == table_state_hash(direct.store.read(t))
+
+
 def test_stateful_first_seen(spark, events_dir, tmp_path_factory):
     ev = streams.events_stream(spark, events_dir)
     df = streams.stateful_first_seen(ev.select("user_id", "event_id"))
