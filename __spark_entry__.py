@@ -17,6 +17,7 @@ from crawler_spark.queries import REGISTRY
 import crawler_spark.queries_ml  # noqa: F401  (populates REGISTRY)
 import crawler_spark.queries_media  # noqa: F401  (populates REGISTRY)
 import crawler_spark.queries_scale  # noqa: F401  (populates REGISTRY)
+import crawler_spark.queries_temporal  # noqa: F401  (populates REGISTRY)
 
 
 def entry(spark: SparkSession) -> DataFrame:
