@@ -56,6 +56,87 @@ def q_asof_join_latest_event(spark, sf_dir):
     )
 
 
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(1e-9 + quantile_cont(value, 0.5), 4) AS p50,
+           round(1e-9 + quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per key (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). The approximate
+    scale path is approx_percentile (t-digest/GK) — not oracle-comparable
+    across engines, so the exact form is the checked one."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)") + F.lit(1e-9), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)") + F.lit(1e-9), 4).alias("p95"),
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           {cols}
+    FROM events GROUP BY user_id % 10
+    """.format(cols=", ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+        for t in _PIVOT_TYPES
+    )),
+)
+def q_pivot_event_counts(spark, sf_dir):
+    """Pivot (long->wide): per-bucket counts of each event type as
+    columns. Spark's pivot with an explicit value list stays a single
+    hash aggregate (no second shuffle, no value-discovery job)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_bucket",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _PIVOT_TYPES],
+        )
+    )
+
+
+@register(
+    "rolling_window_sum",
+    """
+    SELECT event_id, user_id,
+           round(1e-9 + sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+           ), 4) AS rolling_1d
+    FROM events
+    """,
+)
+def q_rolling_window_sum(spark, sf_dir):
+    """Time-range rolling aggregate: per-user 1-day trailing sum via a
+    RANGE frame over epoch seconds — the metrics-smoothing shape for the
+    daily-snapshot tables (SURVEY §2.4 A5 extension)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w) + F.lit(1e-9), 4).alias("rolling_1d"),
+    )
+
+
 _SESSION_GAP = 6 * 3600
 
 _SESSION_SQL = f"""
