@@ -185,6 +185,15 @@ class SnapshotStore:
         os.replace(head_tmp, self._head_path())
         return sid
 
+    def compact(self, table: str) -> int:
+        """OPTIMIZE: rewrite the table's current content into one compact
+        snapshot dir (collapses an append table's accumulated delta files
+        and any over-fragmented snapshot into files_per_table files).
+        Returns the new snapshot id. Run periodically on long crawls —
+        the read path is unchanged, just fewer files to open."""
+        df = self.read(table)
+        return self.commit({table: df})
+
     # -- retention ----------------------------------------------------------
 
     def gc(self, keep_last: int = 2) -> dict:

@@ -134,6 +134,25 @@ def test_append_mode_log(store, spark):
         store.commit({"snapshots_log": row(9)}, append={"snapshots_log": row(9)})
 
 
+def test_compact_collapses_deltas(store, spark):
+    from crawler_spark.schemas import SNAPSHOTS_LOG
+
+    def row(i):
+        return spark.createDataFrame([(i, i, None, "frontier", "", 1, 0, None)], SNAPSHOTS_LOG)
+
+    for i in range(4):
+        store.commit({}, append={"snapshots_log": row(i)})
+    ent = store.current_manifest()["tables"]["snapshots_log"]
+    assert len(ent["paths"]) == 4
+    store.compact("snapshots_log")
+    ent2 = store.current_manifest()["tables"]["snapshots_log"]
+    assert "paths" not in ent2  # single dir again
+    assert sorted(r["snapshot_id"] for r in store.read("snapshots_log").collect()) == [0, 1, 2, 3]
+    # appends continue on top of the compacted base
+    store.commit({}, append={"snapshots_log": row(9)})
+    assert store.read("snapshots_log").count() == 5
+
+
 def test_crash_mid_commit_leaves_head_intact(store, spark):
     """A crash between data write and HEAD swap must be invisible: HEAD
     still reads the previous complete snapshot, orphans are garbage not
