@@ -36,6 +36,7 @@ class CrawlConfig:
     collect_stats: bool = True
     enable_discovery: bool = True
     enable_recrawl: bool = True
+    maintenance_every: int = 0  # 0 = off; else compact+gc every N batches
 
     @classmethod
     def load(cls, json_path: str | None = None, env: dict | None = None) -> "CrawlConfig":

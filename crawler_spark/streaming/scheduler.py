@@ -57,6 +57,7 @@ class CrawlScheduler:
         collect_stats: bool = True,
         enable_discovery: bool = True,
         enable_recrawl: bool = True,
+        maintenance_every: int | None = None,
     ):
         self.spark = spark
         self.store = SnapshotStore(spark, root)
@@ -76,6 +77,10 @@ class CrawlScheduler:
         # producer toggles (ref config.rs:4-9 / main.rs:132-231 gates)
         self.enable_discovery = enable_discovery
         self.enable_recrawl = enable_recrawl
+        # every N batches: compact the append log + expire old snapshots
+        # (semantics-free maintenance; keeps file counts and store size
+        # bounded over long crawls)
+        self.maintenance_every = maintenance_every
 
     # -- bootstrap ----------------------------------------------------------
 
@@ -247,6 +252,9 @@ class CrawlScheduler:
         for df in (popped, fetched, cand):
             if df is not None:
                 df.unpersist()
+        if self.maintenance_every and (batch_id + 1) % self.maintenance_every == 0:
+            st.compact("snapshots_log")
+            st.gc(keep_last=3)
         return {
             "batch_id": batch_id,
             "popped": int(n_popped),

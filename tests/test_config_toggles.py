@@ -45,6 +45,29 @@ def test_discovery_disabled_admits_nothing(spark, tmp_path_factory):
                for r in s.store.read("frontier").select("source").collect())
 
 
+def test_maintenance_is_semantics_free(spark, tmp_path_factory):
+    """compact+gc during the crawl must not change any table content."""
+    from crawler_spark.tables import table_state_hash
+
+    hashes = []
+    for maint in (None, 2):
+        root = str(tmp_path_factory.mktemp(f"maint{maint}"))
+        s = CrawlScheduler(spark, root, maintenance_every=maint, **PARAMS)
+        s.init()
+        [s.run_batch() for _ in range(4)]
+        h = {
+            t: table_state_hash(s.store.read(t))
+            for t in ("frontier", "seen", "corpus")
+        }
+        # log rows embed store snapshot ids, which legitimately shift when
+        # maintenance commits interleave — compare the semantic columns
+        h["log"] = table_state_hash(
+            s.store.read("snapshots_log").select("batch_id", "fetched", "errors")
+        )
+        hashes.append(h)
+    assert hashes[0] == hashes[1]
+
+
 def test_recrawl_disabled_never_repops(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("norecrawl"))
     # tick of a full day >> every staleness threshold's 3h minimum, so
