@@ -232,13 +232,31 @@ class CrawlScheduler:
                     snapshot_id=st.snapshot_id + 1,
                 )
 
-        # 8. lineage row (T2/T7): fetch+error counts, watermark, state hash
-        state_hash = table_state_hash(new_frontier) if self.lineage_hashes else ""
-        log_row = self.spark.createDataFrame(
-            [(st.snapshot_id + 1, batch_id, as_of, "frontier", state_hash,
-              n_ok, n_err, as_of)],
-            SNAPSHOTS_LOG,
-        )
+        # 8. lineage rows (T2/T7): fetch+error counts, watermark, and state
+        # hashes — one global frontier hash plus one PER SEEN SHARD
+        # (north_rule: per-partition state with lineage, so a resumed run
+        # can prove bit-identity partition-by-partition, and a corrupted
+        # shard is localizable without scanning the whole seen set)
+        sid_next = st.snapshot_id + 1
+        rows = []
+        if self.lineage_hashes:
+            rows.append((sid_next, batch_id, as_of, "frontier",
+                         table_state_hash(new_frontier), n_ok, n_err, as_of))
+            shard_src = new_seen if new_seen is not None else seen_tbl
+            shard_hashes = (
+                shard_src.groupBy("shard_id")
+                .agg(F.sum(F.xxhash64("url_hash", "verdict").cast("decimal(38,0)")).alias("h"))
+                .collect()
+            )
+            for r in shard_hashes:
+                rows.append((
+                    sid_next, batch_id, as_of, f"seen/shard={r['shard_id']}",
+                    format(int(r["h"] or 0) & ((1 << 64) - 1), "016x"),
+                    n_ok, n_err, as_of,
+                ))
+        else:
+            rows.append((sid_next, batch_id, as_of, "frontier", "", n_ok, n_err, as_of))
+        log_row = self.spark.createDataFrame(rows, SNAPSHOTS_LOG)
         st.commit(
             changed,
             properties={"batch_id": batch_id + 1, "watermark_epoch": as_of_epoch},
