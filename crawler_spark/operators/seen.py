@@ -20,7 +20,7 @@ seen table. Correctness never depends on the sketch.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
@@ -216,7 +216,6 @@ def merge_sketch_tables(old: DataFrame, new: DataFrame, snapshot_id: int = 0) ->
 
 
 def mark_seen(
-    spark: SparkSession,
     url_hashes: DataFrame,
     verdict_col: str = "verdict",
     as_of_ts=None,

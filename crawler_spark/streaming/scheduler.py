@@ -92,7 +92,7 @@ class CrawlScheduler:
         sp = self.spark
         fr = synth.build_seed_frontier(sp, self.n_seeds, self.t0_epoch, self.universe)
         sk = seen.mark_seen(
-            sp, fr.select("url_hash"), as_of_ts=_ts(self.t0_epoch), n_shards=self.n_shards
+            fr.select("url_hash"), as_of_ts=_ts(self.t0_epoch), n_shards=self.n_shards
         )
         pol = synth.build_politeness(sp)
         if self.quota_boost != 1:
@@ -204,7 +204,6 @@ class CrawlScheduler:
             # means rejected URLs are never re-evaluated, ref
             # nonsailingchannels)
             seen_add = seen.mark_seen(
-                self.spark,
                 admitted.select("url_hash").withColumn("verdict", F.lit("accepted"))
                 .unionByName(rejected.select("url_hash").withColumn("verdict", F.lit("rejected"))),
                 as_of_ts=as_of,
@@ -308,7 +307,6 @@ class CrawlScheduler:
             .select("image_id")
         )
         rejected = seen.mark_seen(
-            spark,
             doomed.withColumn("verdict", F.lit("rejected")),
             as_of_ts=None,
             n_shards=self.n_shards,
