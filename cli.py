@@ -18,15 +18,16 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="crawler_spark micro-batch crawl loop")
     p.add_argument("--root", required=True, help="snapshot store directory")
     p.add_argument("--batches", type=int, default=4)
-    p.add_argument("--universe", type=int, default=10_000)
-    p.add_argument("--seeds", type=int, default=32)
-    p.add_argument("--k-per-host", type=int, default=8)
-    p.add_argument("--tick-secs", type=int, default=6 * 3600)
+    p.add_argument("--universe", type=int, default=None,
+                   help="(default 10000 unless set in config/env)")
+    p.add_argument("--seeds", type=int, default=None)
+    p.add_argument("--k-per-host", type=int, default=None)
+    p.add_argument("--tick-secs", type=int, default=None)
     p.add_argument("--no-sketch", action="store_true")
     p.add_argument("--no-lineage-hash", action="store_true")
     p.add_argument("--no-discovery", action="store_true")
     p.add_argument("--no-recrawl", action="store_true")
-    p.add_argument("--quota-boost", type=int, default=1)
+    p.add_argument("--quota-boost", type=int, default=None)
     p.add_argument("--config", default=None,
                    help="JSON config file (CRAWLER_SPARK_* env overrides apply on top)")
     args = p.parse_args(argv)
@@ -36,12 +37,18 @@ def main(argv=None) -> None:
     from crawler_spark.streaming.scheduler import CrawlScheduler
 
     cfg = CrawlConfig.load(args.config)
-    # explicit CLI flags override config-file/env values
-    cfg.universe = args.universe
-    cfg.n_seeds = args.seeds
-    cfg.k_per_host = args.k_per_host
-    cfg.tick_secs = args.tick_secs
-    cfg.quota_boost = args.quota_boost
+    # explicit CLI flags override config-file/env values; unset flags
+    # (default None) leave the file/env layering intact
+    if args.universe is not None:
+        cfg.universe = args.universe
+    if args.seeds is not None:
+        cfg.n_seeds = args.seeds
+    if args.k_per_host is not None:
+        cfg.k_per_host = args.k_per_host
+    if args.tick_secs is not None:
+        cfg.tick_secs = args.tick_secs
+    if args.quota_boost is not None:
+        cfg.quota_boost = args.quota_boost
     if args.no_sketch:
         cfg.use_sketch = False
     if args.no_lineage_hash:

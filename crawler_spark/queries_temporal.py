@@ -12,46 +12,53 @@ from pyspark.sql import functions as F
 from crawler_spark.queries import _t, register
 
 _ASOF_SQL = """
-    SELECT o_orderkey,
-           max_ts AS asof_ts,
-           round(1e-9 + val, 4) AS asof_value
+    SELECT event_id,
+           asof_orderkey,
+           asof_orderdate
     FROM (
-      SELECT o.o_orderkey, e.ts, e.value AS val,
-             row_number() OVER (PARTITION BY o.o_orderkey
-                                ORDER BY e.ts DESC, e.event_id DESC) AS rn,
-             e.ts AS max_ts
-      FROM orders o
-      JOIN events e ON e.user_id = o.o_custkey % 150 AND e.ts <= o.o_orderdate
-      WHERE o.o_orderkey % 100 = 0
+      SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+             o.o_orderdate AS asof_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey % 150 = e.user_id AND o.o_orderdate <= e.ts
+      WHERE e.event_id % 200 = 0
     ) WHERE rn = 1
 """
 
 
 @register("asof_join_latest_event", _ASOF_SQL)
 def q_asof_join_latest_event(spark, sf_dir):
-    """As-of join: for each order, the latest event at-or-before its
-    timestamp for its (bucketed) user — range-condition join then
-    rank-1 per left row with a deterministic tiebreak. At scale the
-    range join is bounded by bucketing both sides on the key and
-    range-partitioning time (Spark also auto-selects a range join when
-    hinted); this form is the semantics oracle."""
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 100 == 0)
-        .select("o_orderkey", (F.col("o_custkey") % 150).alias("k"), "o_orderdate")
+    """As-of join: for each (sampled) event, the latest order placed
+    at-or-before the event's timestamp for its (bucketed) customer key —
+    range-condition join then rank-1 per left row with a deterministic
+    tiebreak. Direction chosen so the range predicate is satisfiable on
+    the driver's testdata (orderdates 1992-98 precede the 2024 events),
+    making the oracle non-vacuous. At scale the range join is bounded by
+    bucketing both sides on the key and range-partitioning time (Spark
+    also auto-selects a range join when hinted); this form is the
+    semantics oracle."""
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 200 == 0)
+        .select("event_id", "user_id", "ts")
     )
-    events = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
-    j = orders.join(
-        events, (events.user_id == orders.k) & (events.ts <= orders.o_orderdate)
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("k"), "o_orderkey", "o_orderdate"
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    j = events.join(
+        orders, (orders.k == events.user_id) & (orders.o_orderdate <= events.ts)
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
     return (
         j.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
-            "o_orderkey",
-            F.col("ts").alias("asof_ts"),
-            F.round(F.col("value") + F.lit(1e-9), 4).alias("asof_value"),
+            "event_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
         )
     )
 
@@ -150,8 +157,8 @@ _SESSION_SQL = f"""
     ),
     sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,

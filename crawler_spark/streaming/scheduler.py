@@ -225,9 +225,14 @@ class CrawlScheduler:
         if new_seen is not None:
             changed["seen"] = new_seen
             if self.use_sketch:
-                changed["seen_sketch"] = seen.merge_sketch_tables(
+                # rebuild only the dirty shards from the post-merge seen
+                # table (cardinality-sized bits; preserves shard kind) —
+                # O(dirty shards), not O(all shards) or delta-OR
+                changed["seen_sketch"] = seen.update_sketches(
                     sketches,
-                    seen.build_sketches(seen_add, self.n_shards),
+                    new_seen,
+                    seen_add,
+                    self.n_shards,
                     snapshot_id=st.snapshot_id + 1,
                 )
 

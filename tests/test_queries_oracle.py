@@ -14,6 +14,12 @@ ORACLES = E.oracle_sql()
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Same-kind widening only (int32->int64, datetime unit) — NO
+    cross-kind coercion: an int column on one side and a float on the
+    other must FAIL here, because the driver's value hash stringifies
+    per-type ("5" != "5.0"). check_dtype-lenient comparison is exactly
+    how the round-1 sessionize HUGEINT bug passed locally but failed
+    the gate."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -36,6 +42,12 @@ def test_query_matches_oracle(name, spark, duck):
     )
     s, o = normalize(sdf), normalize(odf)
     assert len(s) == len(o), f"{name}: row count {len(s)} vs {len(o)}"
+    assert len(s) > 0, f"{name}: VACUOUS oracle (0 rows) — proves nothing, reformulate"
+    skinds = {c: s[c].dtype.kind for c in s.columns}
+    okinds = {c: o[c].dtype.kind for c in o.columns}
+    assert skinds == okinds, (
+        f"{name}: dtype-kind mismatch (driver hash would fail): {skinds} vs {okinds}"
+    )
     pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, atol=1e-9, rtol=0)
 
 
