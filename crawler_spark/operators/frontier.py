@@ -79,55 +79,65 @@ def pop(
     return popped
 
 
+def fetch_update_rows(
+    popped: DataFrame,
+    fetched: DataFrame,
+    as_of_ts,
+    error_retry_secs: int = 6 * 3600,
+) -> DataFrame:
+    """The REPLACEMENT frontier rows for this batch's popped URLs (the
+    upsert side of the frontier MERGE): last_fetch_ts = as_of and
+    next_fetch_ts advanced by the staleness policy (success) or an error
+    backoff, priority/source flipped to 'update'. Batch-sized — the
+    copy-on-write commit path rewrites only the buckets these keys hash
+    into, never the whole frontier.
+
+    `popped` carries full frontier rows (pop's output); `fetched` carries
+    url_hash, ok:boolean, refresh_secs:long
+    (kernels.staleness_threshold_secs)."""
+    as_of = F.lit(as_of_ts).cast("timestamp")
+    upd = fetched.select(
+        "url_hash",
+        F.when(
+            F.col("ok"),
+            as_of + F.make_dt_interval(secs=F.col("refresh_secs").cast("double")),
+        )
+        .otherwise(as_of + F.make_dt_interval(secs=F.lit(float(error_retry_secs))))
+        .alias("__next_fetch_ts"),
+    )
+    return popped.join(upd, "url_hash").select(
+        "url",
+        "url_hash",
+        "host",
+        "host_hash",
+        # once fetched, a row becomes an 'update' (recrawl) row
+        F.lit(PRIORITY_UPDATE).cast("int").alias("priority"),
+        F.col("__next_fetch_ts").alias("next_fetch_ts"),
+        as_of.alias("last_fetch_ts"),
+        F.lit("update").alias("source"),
+        "ignore_filter_terms",
+        "depth",
+    )
+
+
 def after_fetch(
     frontier: DataFrame,
     fetched: DataFrame,
     as_of_ts,
     error_retry_secs: int = 6 * 3600,
 ) -> DataFrame:
-    """Write-back of pop visibility (SURVEY §3.2): popped rows get
-    last_fetch_ts = as_of and next_fetch_ts advanced by the staleness
-    policy (success) or an error backoff — the next pop sees the updated
-    state, exactly like the reference where re-selection is prevented only
-    by the scrape's lastCrawl update (src/scraper/channel_scraper.rs:100).
+    """Write-back of pop visibility (SURVEY §3.2) as a whole-table
+    transform: MERGE fetch_update_rows into the frontier. The scheduler
+    uses the bucket-level plan_merge path instead; this form remains for
+    callers that want the full post-merge table in one expression. The
+    next pop sees the updated state, exactly like the reference where
+    re-selection is prevented only by the scrape's lastCrawl update
+    (src/scraper/channel_scraper.rs:100)."""
+    from crawler_spark.tables import merge_upsert
 
-    `fetched` carries url_hash, ok:boolean, refresh_secs:long (staleness
-    threshold from the page age, kernels.staleness_threshold_secs).
-    Returns the new frontier table (MERGE-update via join-rewrite).
-    """
-    upd = fetched.select(
-        "url_hash",
-        F.lit(as_of_ts).cast("timestamp").alias("last_fetch_ts"),
-        F.when(
-            F.col("ok"),
-            F.lit(as_of_ts).cast("timestamp")
-            + F.make_dt_interval(secs=F.col("refresh_secs").cast("double")),
-        )
-        .otherwise(
-            F.lit(as_of_ts).cast("timestamp")
-            + F.make_dt_interval(secs=F.lit(float(error_retry_secs)))
-        )
-        .alias("next_fetch_ts"),
-        F.lit(1).alias("__upd_priority"),
-    )
-    joined = frontier.join(upd, "url_hash", "left")
-    return joined.select(
-        "url",
-        "url_hash",
-        "host",
-        "host_hash",
-        # once fetched, a row becomes an 'update' (recrawl) row
-        F.when(F.col("__upd_priority").isNotNull(), F.lit(PRIORITY_UPDATE))
-        .otherwise(F.col("priority"))
-        .cast("int")
-        .alias("priority"),
-        F.coalesce(upd.next_fetch_ts, frontier.next_fetch_ts).alias("next_fetch_ts"),
-        F.coalesce(upd.last_fetch_ts, frontier.last_fetch_ts).alias("last_fetch_ts"),
-        F.when(F.col("__upd_priority").isNotNull(), F.lit("update"))
-        .otherwise(F.col("source"))
-        .alias("source"),
-        "ignore_filter_terms",
-        "depth",
+    popped = frontier.join(fetched.select("url_hash"), "url_hash", "left_semi")
+    return merge_upsert(
+        frontier, fetch_update_rows(popped, fetched, as_of_ts, error_retry_secs), "url_hash"
     )
 
 

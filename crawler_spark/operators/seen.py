@@ -80,7 +80,12 @@ def build_sketches(
         if kind == "cuckoo":
             f = CuckooFilter(cuckoo_buckets_for(len(pdf)))
             for h in pdf["url_hash"].to_numpy():
-                f.add(int(h))
+                if not f.add(int(h)):
+                    # a dropped key would be a sketch FALSE NEGATIVE, which
+                    # filter_unseen's definitely-new bypass turns into a
+                    # re-admission — never allowed; sizing makes this
+                    # unreachable (load factor 0.84), so fail loud
+                    raise OverflowError(f"cuckoo shard {shard} overflow at build")
         else:
             f = BloomFilter(bloom_bits_for(len(pdf)), BLOOM_K)
             f.add(pdf["url_hash"].to_numpy())
@@ -268,22 +273,25 @@ def merge_sketch_tables(old: DataFrame, new: DataFrame, snapshot_id: int = 0) ->
 
 def update_sketches(
     old: DataFrame,
-    new_seen: DataFrame,
-    added: DataFrame,
+    dirty_rows: DataFrame,
     n_shards: int = N_SHARDS_DEFAULT,
     snapshot_id: int = 0,
 ) -> DataFrame:
-    """Incremental sketch maintenance for a micro-batch: shards untouched
-    by `added` pass through unchanged; DIRTY shards are REBUILT from the
-    post-merge seen table at the size their new cardinality demands
-    (bloom bits / cuckoo buckets from n_items), preserving each shard's
-    existing kind. Cost is O(dirty-shard rows), the same class as the
-    store's dirty-bucket copy-on-write commit — and when the seen table
-    is hash-bucketed by the same pmod(url_hash) the rebuild scan prunes
-    to exactly the dirty buckets' files. This replaces delta-OR merging,
-    which could not grow a saturating bloom and could not handle a shard
-    whose kind had become cuckoo."""
-    touched = with_shard(added.select("url_hash"), n_shards).select("shard_id").distinct()
+    """Incremental sketch maintenance for a micro-batch: shards absent
+    from `dirty_rows` pass through unchanged; DIRTY shards are REBUILT
+    from those rows at the size their new cardinality demands (bloom
+    bits / cuckoo buckets from n_items), preserving each shard's existing
+    kind. This replaces delta-OR merging, which could not grow a
+    saturating bloom and could not handle a shard whose kind had become
+    cuckoo.
+
+    CONTRACT: `dirty_rows` must contain EVERY post-merge row of every
+    shard it touches — the store's seen MergePlan.merged provides exactly
+    this when the seen table is bucketed by the same pmod(url_hash,
+    n_shards) (tables.crawl_bucket_spec aligns them), so the rebuild
+    reads only the files the copy-on-write commit is rewriting anyway:
+    O(dirty shards), not O(seen)."""
+    touched = dirty_rows.select("shard_id").distinct()
     untouched = old.join(touched, "shard_id", "left_anti")
     kind_rows = old.join(touched, "shard_id", "left_semi").select("shard_id", "kind").collect()
     kind_by_shard = {int(r["shard_id"]): r["kind"] for r in kind_rows}
@@ -294,7 +302,8 @@ def update_sketches(
         if kind_by_shard.get(shard, "bloom") == "cuckoo":
             f = CuckooFilter(cuckoo_buckets_for(keys.size))
             for h in keys:
-                f.add(int(h))
+                if not f.add(int(h)):
+                    raise OverflowError(f"cuckoo shard {shard} overflow at rebuild")
             kind = "cuckoo"
         else:
             f = BloomFilter(bloom_bits_for(keys.size), BLOOM_K)
@@ -306,10 +315,11 @@ def update_sketches(
             "n_items": [int(keys.size)], "snapshot_id": [snapshot_id],
         })
 
-    dirty_rows = with_shard(new_seen.select("url_hash"), n_shards).join(
-        touched, "shard_id", "left_semi"
+    rebuilt = (
+        dirty_rows.select("shard_id", "url_hash")
+        .groupBy("shard_id")
+        .applyInPandas(_rebuild, SEEN_SKETCH)
     )
-    rebuilt = dirty_rows.groupBy("shard_id").applyInPandas(_rebuild, SEEN_SKETCH)
     return untouched.unionByName(rebuilt)
 
 

@@ -32,7 +32,7 @@ from crawler_spark.operators import fetch as fetch_op
 from crawler_spark.operators import frontier as frontier_op
 from crawler_spark.operators import normalize, politeness, robots, seen
 from crawler_spark.schemas import SNAPSHOTS_LOG
-from crawler_spark.tables import SnapshotStore, merge_upsert, table_state_hash
+from crawler_spark.tables import SnapshotStore, crawl_bucket_spec, table_state_hash
 
 
 def _ts(epoch: int) -> datetime:
@@ -60,7 +60,12 @@ class CrawlScheduler:
         maintenance_every: int | None = None,
     ):
         self.spark = spark
-        self.store = SnapshotStore(spark, root)
+        # bucket-level copy-on-write layout: a batch rewrites only the
+        # buckets its keys hash into; seen buckets ALIGN with the sketch
+        # shards so dirty buckets == dirty shards
+        self.store = SnapshotStore(
+            spark, root, bucket_spec=crawl_bucket_spec(n_shards=n_shards)
+        )
         self.universe = universe
         self.n_seeds = n_seeds
         self.k_per_host = k_per_host
@@ -121,9 +126,6 @@ class CrawlScheduler:
 
         frontier = st.read("frontier")
         seen_tbl = st.read("seen")
-        corpus = st.read("corpus")
-        pages = st.read("pages")
-        metrics = st.read("metrics_daily")
         polite = st.read("politeness")
         robots_tbl = st.read("robots")
         blacklist = st.read("blacklist")
@@ -152,23 +154,25 @@ class CrawlScheduler:
         else:
             n_ok, n_err = -1, -1
 
-        # 3. frontier write-back (pop visibility for the NEXT batch)
+        # 3. frontier write-back rows (pop visibility for the NEXT batch):
+        # batch-sized replacement rows — the copy-on-write commit rewrites
+        # only the buckets these keys hash into
         outcome = fetch_op.fetch_outcome(fetched, as_of_epoch)
-        new_frontier = frontier_op.after_fetch(frontier, outcome, as_of)
+        frontier_upd = frontier_op.fetch_update_rows(popped, outcome, as_of)
 
-        # 4. normalize → pages/corpus/metrics MERGEs
-        new_pages = merge_upsert(pages, normalize.to_pages(fetched, as_of), "url_hash")
-        new_corpus = merge_upsert(corpus, normalize.to_corpus(fetched), "image_id")
-        new_metrics = merge_upsert(
-            metrics, normalize.to_metrics(fetched, as_of), ["url_hash", "yyyymmdd"]
-        )
+        # 4. normalize → pages/corpus/metrics upsert rows (batch-sized;
+        # persisted so the merge-planning bucket scan doesn't recompute
+        # them — to_corpus in particular runs the decode pass)
+        pages_upd = normalize.to_pages(fetched, as_of).persist()
+        corpus_upd = normalize.to_corpus(fetched).persist()
+        metrics_upd = normalize.to_metrics(fetched, as_of).persist()
 
         # 5. discovery admission: explode → robots → seen → classify (P7);
         # gated by enable_discovery (ref ChannelDiscoveryCrawler flag,
         # main.rs:157)
         cand = None
         n_admitted = n_rejected = 0
-        new_seen = None
+        seen_add = None
         if self.enable_discovery:
             cand = normalize.discover_candidates(fetched, self.universe)
             cand = robots.filter_allowed(cand, robots_tbl)
@@ -198,10 +202,12 @@ class CrawlScheduler:
                 F.lit(False).alias("ignore_filter_terms"),
                 F.col("depth").cast("int"),
             )
-            new_frontier = frontier_op.insert_discovered(new_frontier, new_rows)
+            # discovered rows are new by construction (filter_unseen +
+            # frontier⊆seen invariant), so they join the same upsert batch
+            frontier_upd = frontier_upd.unionByName(new_rows.select(*frontier_upd.columns))
 
-            # 6. seen MERGE (accepted ∪ rejected — the negative cache J3
-            # means rejected URLs are never re-evaluated, ref
+            # 6. seen MERGE rows (accepted ∪ rejected — the negative cache
+            # J3 means rejected URLs are never re-evaluated, ref
             # nonsailingchannels)
             seen_add = seen.mark_seen(
                 admitted.select("url_hash").withColumn("verdict", F.lit("accepted"))
@@ -209,69 +215,77 @@ class CrawlScheduler:
                 as_of_ts=as_of,
                 n_shards=self.n_shards,
             )
-            new_seen = merge_upsert(seen_tbl, seen_add, "url_hash")
 
-        # 7. politeness charge (S16 inc-or-reset)
+        # 7. politeness charge (S16 inc-or-reset; small dim table — full
+        # rewrite is O(hosts), not worth bucketing)
         counts = popped.groupBy("host_hash").agg(F.count("*").alias("n"))
         new_polite = politeness.charge(polite, counts, as_of)
 
-        changed = {
-            "frontier": new_frontier,
-            "pages": new_pages,
-            "corpus": new_corpus,
-            "metrics_daily": new_metrics,
-            "politeness": new_polite,
+        # plan the copy-on-write MERGEs: each plan reads ONLY the buckets
+        # its batch keys hash into; commit rewrites exactly those buckets
+        frontier_upd = frontier_upd.persist()
+        plans = {
+            "frontier": st.plan_merge("frontier", frontier_upd, key="url_hash"),
+            "pages": st.plan_merge("pages", pages_upd, key="url_hash"),
+            "corpus": st.plan_merge("corpus", corpus_upd, key="image_id"),
+            "metrics_daily": st.plan_merge(
+                "metrics_daily", metrics_upd, key=["url_hash", "yyyymmdd"]
+            ),
         }
-        if new_seen is not None:
-            changed["seen"] = new_seen
+        changed = {"politeness": new_polite}
+        seen_plan = None
+        if seen_add is not None:
+            seen_plan = st.plan_merge("seen", seen_add, key="url_hash")
+            seen_plan.merged = seen_plan.merged.persist()
+            plans["seen"] = seen_plan
             if self.use_sketch:
-                # rebuild only the dirty shards from the post-merge seen
-                # table (cardinality-sized bits; preserves shard kind) —
-                # O(dirty shards), not O(all shards) or delta-OR
+                # rebuild only the dirty shards, reading the very rows the
+                # CoW commit is about to write (seen buckets == shards)
                 changed["seen_sketch"] = seen.update_sketches(
                     sketches,
-                    new_seen,
-                    seen_add,
+                    seen_plan.merged,
                     self.n_shards,
                     snapshot_id=st.snapshot_id + 1,
                 )
 
         # 8. lineage rows (T2/T7): fetch+error counts, watermark, and state
-        # hashes — one global frontier hash plus one PER SEEN SHARD
-        # (north_rule: per-partition state with lineage, so a resumed run
-        # can prove bit-identity partition-by-partition, and a corrupted
-        # shard is localizable without scanning the whole seen set)
+        # hashes — one global frontier hash plus one per DIRTY seen shard
+        # (north_rule: per-partition state with lineage; clean shards'
+        # latest logged hash remains valid, so logging dirty shards keeps
+        # the log O(batch) while still proving bit-identity per partition)
         sid_next = st.snapshot_id + 1
         rows = []
         if self.lineage_hashes:
             rows.append((sid_next, batch_id, as_of, "frontier",
-                         table_state_hash(new_frontier), n_ok, n_err, as_of))
-            shard_src = new_seen if new_seen is not None else seen_tbl
-            shard_hashes = (
-                shard_src.groupBy("shard_id")
-                .agg(F.sum(F.xxhash64("url_hash", "verdict").cast("decimal(38,0)")).alias("h"))
-                .collect()
-            )
-            for r in shard_hashes:
-                rows.append((
-                    sid_next, batch_id, as_of, f"seen/shard={r['shard_id']}",
-                    format(int(r["h"] or 0) & ((1 << 64) - 1), "016x"),
-                    n_ok, n_err, as_of,
-                ))
+                         table_state_hash(st.merged_full(plans["frontier"])),
+                         n_ok, n_err, as_of))
+            if seen_plan is not None:
+                shard_hashes = (
+                    seen_plan.merged.groupBy("shard_id")
+                    .agg(F.sum(F.xxhash64("url_hash", "verdict").cast("decimal(38,0)")).alias("h"))
+                    .collect()
+                )
+                for r in sorted(shard_hashes, key=lambda r: r["shard_id"]):
+                    rows.append((
+                        sid_next, batch_id, as_of, f"seen/shard={r['shard_id']}",
+                        format(int(r["h"] or 0) & ((1 << 64) - 1), "016x"),
+                        n_ok, n_err, as_of,
+                    ))
         else:
             rows.append((sid_next, batch_id, as_of, "frontier", "", n_ok, n_err, as_of))
         log_row = self.spark.createDataFrame(rows, SNAPSHOTS_LOG)
         st.commit(
             changed,
             properties={"batch_id": batch_id + 1, "watermark_epoch": as_of_epoch},
-            # day-partitioned metrics: at scale readers prune to the days
-            # they touch instead of scanning the whole history
-            partition_by={"metrics_daily": ["yyyymmdd"]},
+            merge=plans,
             # lineage log is grow-only: append the batch row as a delta
             # file (O(1) per commit) instead of rewriting the whole log
             append={"snapshots_log": log_row},
         )
-        for df in (popped, fetched, cand):
+        unpersist = [popped, fetched, cand, frontier_upd, pages_upd, corpus_upd, metrics_upd]
+        if seen_plan is not None:
+            unpersist.append(seen_plan.merged)
+        for df in unpersist:
             if df is not None:
                 df.unpersist()
         if self.maintenance_every and (batch_id + 1) % self.maintenance_every == 0:
@@ -296,8 +310,11 @@ class CrawlScheduler:
         delete channel + views + subscribers + videos): one atomic
         snapshot removes the rows from frontier, pages, metrics and the
         corpus, flips their seen verdict to 'rejected' (the negative
-        cache guarantees no re-admission), and MERGEs the deny-list."""
-        from crawler_spark.tables import merge_delete, merge_upsert
+        cache guarantees no re-admission), and MERGEs the deny-list.
+        Deletes ride the same copy-on-write path as upserts: only the
+        buckets holding doomed keys are rewritten (metrics, partitioned
+        by day, pays a full pass — the delete key can't derive the day)."""
+        from crawler_spark.tables import merge_upsert
 
         st = self.store
         spark = self.spark
@@ -316,15 +333,28 @@ class CrawlScheduler:
             as_of_ts=None,
             n_shards=self.n_shards,
         )
-        changed = {
-            "frontier": merge_delete(st.read("frontier"), doomed, "url_hash"),
-            "pages": merge_delete(st.read("pages"), doomed, "url_hash"),
-            "metrics_daily": merge_delete(st.read("metrics_daily"), doomed, "url_hash"),
-            "corpus": merge_delete(st.read("corpus"), doomed_imgs, "image_id"),
-            "seen": merge_upsert(st.read("seen"), rejected, "url_hash"),
-            "blacklist": merge_upsert(st.read("blacklist"), doomed, "url_hash"),
+        seen_plan = st.plan_merge("seen", upsert=rejected, key="url_hash")
+        seen_plan.merged = seen_plan.merged.persist()
+        plans = {
+            "frontier": st.plan_merge("frontier", delete=doomed, delete_key="url_hash"),
+            "pages": st.plan_merge("pages", delete=doomed, delete_key="url_hash"),
+            "metrics_daily": st.plan_merge(
+                "metrics_daily", delete=doomed, delete_key="url_hash"
+            ),
+            "corpus": st.plan_merge("corpus", delete=doomed_imgs, delete_key="image_id"),
+            "seen": seen_plan,
         }
-        st.commit(changed, partition_by={"metrics_daily": ["yyyymmdd"]})
+        changed = {"blacklist": merge_upsert(st.read("blacklist"), doomed, "url_hash")}
+        if self.use_sketch:
+            # keep dirty shards' sketches consistent with the flipped rows
+            changed["seen_sketch"] = seen.update_sketches(
+                st.read("seen_sketch"),
+                seen_plan.merged,
+                self.n_shards,
+                snapshot_id=st.snapshot_id + 1,
+            )
+        st.commit(changed, merge=plans)
+        seen_plan.merged.unpersist()
         return {"blacklisted": len(url_hashes)}
 
     # -- parity surface ------------------------------------------------------
