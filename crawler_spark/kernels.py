@@ -426,3 +426,53 @@ def synth_pixels(image_id: str, min_side: int = 32, max_side: int = 64) -> np.nd
     base = (gy * 0.5 + gx * 0.5)
     noise = rng.integers(0, 32, size=(h, w))
     return np.clip(base + noise, 0, 255).astype("uint8")
+
+
+# ---------------------------------------------------------------------------
+# XML feed parse (SURVEY §2.1 S11 + §2.8 F9 + §2.10 #3)
+# ---------------------------------------------------------------------------
+
+def strip_xml_namespaces(payload: str) -> str:
+    """F9: blanket un-prefixing of the feed's namespaces EXACTLY like the
+    reference's string replace (src/scraper/video_scraper.rs:145-149:
+    'yt:'->'yt', 'media:'->'media') — it also mangles the xmlns attribute
+    names, which is fine: the point is making tags acceptable to a
+    namespace-unaware parser. Idempotent. The Spark path runs the same
+    substitution as a Catalyst regexp_replace (operators.parse)."""
+    return payload.replace("yt:", "yt").replace("media:", "media")
+
+
+def parse_feed_entries(payload: str) -> list[dict]:
+    """S11: parse an XML feed payload string into typed entries
+    (ref src/scraper/video_scraper.rs:132-158: strip namespaces, parse,
+    one entry per <entry> with video id / title / published / views).
+    `published` accepts epoch-seconds digits or an RFC-3339 string
+    (ref parses RFC-3339 at video_scraper.rs:39). Pure function reused by
+    the vectorized parse UDF and the parity simulator."""
+    import xml.etree.ElementTree as ET
+    from datetime import datetime, timezone
+
+    if payload is None:
+        return []
+    root = ET.fromstring(strip_xml_namespaces(payload))
+    out = []
+    for e in root.iter("entry"):
+        vid = e.findtext("ytvideoId")
+        title = e.findtext("title")
+        pub_raw = e.findtext("published") or ""
+        if pub_raw.isdigit():
+            published = int(pub_raw)
+        else:
+            dt = datetime.fromisoformat(pub_raw.replace("Z", "+00:00"))
+            published = int(dt.astimezone(timezone.utc).timestamp())
+        stats = e.find("mediagroup/mediastatistics")
+        if stats is None:
+            stats = e.find("mediastatistics")
+        views = int(stats.get("views", "0")) if stats is not None else 0
+        out.append({
+            "item_id": vid,
+            "title": title,
+            "published_epoch": published,
+            "views": views,
+        })
+    return out

@@ -55,6 +55,8 @@ FETCH_RESULT = StructType([
     StructField("subscribers_hidden", BooleanType()),
     StructField("country", StringType()),
     StructField("keywords_raw", StringType()),
+    # raw namespaced XML item feed (S11 input) — parsed by operators.parse
+    StructField("feed_xml", StringType()),
 ])
 
 _CARRY = ["url", "url_hash", "host", "host_hash", "depth"]

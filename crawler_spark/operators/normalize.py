@@ -161,13 +161,18 @@ def decode_verify(corpus_like: DataFrame) -> DataFrame:
 # output shaping (pages / corpus / metrics / candidates)
 # ---------------------------------------------------------------------------
 
-def to_pages(fetched: DataFrame, as_of_ts) -> DataFrame:
+def to_pages(fetched: DataFrame, as_of_ts, item_stats: DataFrame | None = None) -> DataFrame:
     """FETCH_RESULT -> `pages` rows (ref channel doc build,
     channel_scraper.rs:84-129): F1 lowercase country, F3 keyword
     tokenizer (pure SQL regexp), F4 casts, F5 epoch->timestamp, F11
-    language UDF; errors land in error_at/error_msg (S15)."""
+    language UDF; errors land in error_at/error_msg (S15).
+
+    `item_stats` (url_hash, item_count, last_item_ts) is the A1/A3
+    write-back from the per-item sub-pipeline (ref video_scraper.rs:61-77
+    -> channel_repo.rs:143-163: videoCount + lastUploadAt stamped on the
+    channel doc); pages without stats get 0/NULL (no items)."""
     ok = F.col("status") == 200
-    return fetched.select(
+    base = fetched.select(
         "url_hash",
         "title",
         "description",
@@ -182,11 +187,26 @@ def to_pages(fetched: DataFrame, as_of_ts) -> DataFrame:
         F.coalesce(F.col("subscribers"), F.lit(0)).cast("long").alias("subscribers"),
         "subscribers_hidden",
         F.lit(as_of_ts).cast("timestamp").alias("last_crawl_ts"),
-        F.lit(0).cast("long").alias("item_count"),
-        F.lit(None).cast("timestamp").alias("last_item_ts"),
         F.when(~ok, F.lit(as_of_ts).cast("timestamp")).alias("error_at_ts"),
         F.when(~ok, F.col("error")).alias("error_msg"),
-    ).select(*[f.name for f in PAGES.fields])
+    )
+    if item_stats is None:
+        base = base.withColumn("item_count", F.lit(0).cast("long")).withColumn(
+            "last_item_ts", F.lit(None).cast("timestamp")
+        )
+    else:
+        stats = item_stats.select(
+            "url_hash",
+            F.col("item_count").cast("long").alias("__ic"),
+            F.col("last_item_ts").alias("__li"),
+        )
+        base = (
+            base.join(F.broadcast(stats), "url_hash", "left")
+            .withColumn("item_count", F.coalesce(F.col("__ic"), F.lit(0).cast("long")))
+            .withColumn("last_item_ts", F.col("__li"))
+            .drop("__ic", "__li")
+        )
+    return base.select(*[f.name for f in PAGES.fields])
 
 
 def to_corpus(fetched: DataFrame) -> DataFrame:

@@ -206,3 +206,77 @@ def q_video_refresh_policy(spark, sf_dir):
     )
     keep = F.col("e_key").isNull() | (since >= thr)
     return j.filter(keep).select("l_orderkey", "l_linenumber")
+
+
+_FEED_NS = ('<feed xmlns:yt="http://www.youtube.com/xml/schemas/2015" '
+            'xmlns:media="http://search.yahoo.com/mrss/">')
+
+_XML_FEED_SQL = f"""
+    WITH feeds AS (
+      SELECT doc_id,
+             '{_FEED_NS}' ||
+             list_aggregate(list_transform(range(1, (doc_id % 4 + 1)::INT + 1), i ->
+               '<entry><yt:videoId>v-' || doc_id || '-' || i ||
+               '</yt:videoId><title>item ' || i ||
+               '</title><published>' ||
+               (1600000000 + ((doc_id * 100 + i) * 86400) % 200000000) ||
+               '</published><media:group><media:statistics views="' ||
+               ((doc_id * 31 + i * 7) % 1000) ||
+               '"/></media:group></entry>'), 'string_agg', '')
+             || '</feed>' AS payload
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, regexp_replace(payload, '(yt|media):', '\\1', 'g') AS xml
+      FROM feeds
+    ),
+    entries AS (
+      SELECT doc_id, unnest(regexp_extract_all(xml, '<entry>.*?</entry>')) AS e
+      FROM stripped
+    )
+    SELECT doc_id,
+           regexp_extract(e, '<ytvideoId>(.*?)</ytvideoId>', 1) AS item_id,
+           make_timestamp(regexp_extract(e, '<published>([0-9]+)</published>', 1)::BIGINT
+                          * 1000000) AS published_ts,
+           regexp_extract(e, 'views="([0-9]+)"', 1)::BIGINT AS views
+    FROM entries
+"""
+
+
+@register("xml_feed_parse", _XML_FEED_SQL)
+def q_xml_feed_parse(spark, sf_dir):
+    """S11 + F9 + §2.10-3: parse a namespaced XML feed STRING into typed,
+    exploded entries (ref src/scraper/video_scraper.rs:132-158; namespace
+    strip :145-149). Both engines BUILD the same payload string from
+    doc_id arithmetic, then the Spark side runs the engine's real parse
+    pipeline — Catalyst regexp_replace namespace strip, Arrow-batched
+    ElementTree parse UDF, explode — while the oracle re-extracts the
+    fields with DuckDB regexps. The payload never shuffles; only typed
+    entry rows flow out."""
+    from crawler_spark.operators import parse as parse_op
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 4 + 1).cast("int")
+    entry = lambda i: F.concat(
+        F.lit("<entry><yt:videoId>v-"),
+        F.col("doc_id").cast("string"),
+        F.lit("-"),
+        i.cast("string"),
+        F.lit("</yt:videoId><title>item "),
+        i.cast("string"),
+        F.lit("</title><published>"),
+        (F.lit(1_600_000_000) + ((F.col("doc_id") * 100 + i) * 86400) % 200_000_000)
+        .cast("string"),
+        F.lit('</published><media:group><media:statistics views="'),
+        ((F.col("doc_id") * 31 + i * 7) % 1000).cast("string"),
+        F.lit('"/></media:group></entry>'),
+    )
+    payload = F.concat(
+        F.lit(_FEED_NS),
+        F.array_join(F.transform(F.sequence(F.lit(1), k), entry), ""),
+        F.lit("</feed>"),
+    )
+    feeds = docs.select("doc_id", payload.alias("feed_xml"))
+    return parse_op.parse_feed(feeds, key_col="doc_id").select(
+        "doc_id", "item_id", "published_ts", "views"
+    )

@@ -73,6 +73,8 @@ class CrawlSimulator:
         self.corpus: dict[str, dict] = {}
         # pages: url_hash -> normalized page row (the `channels` document)
         self.pages: dict[int, dict] = {}
+        # items: (url_hash, item_id) -> item row (the `videos` collection)
+        self.items: dict[tuple[int, str], dict] = {}
         self.pop_log: list[list[int]] = []
         for url in synth.seed_urls(n_seeds, universe):
             cu = kernels.canonicalize_url(url)
@@ -133,7 +135,7 @@ class CrawlSimulator:
                 self.pages[r["url_hash"]] = {
                     "title": None, "country": None, "keywords": [],
                     "language": None, "published_epoch": None, "views": None,
-                    "subscribers": 0, "item_count": 0,
+                    "subscribers": 0, "item_count": 0, "last_item_epoch": None,
                     "error_msg": "synthetic 503",
                 }
                 continue
@@ -143,7 +145,24 @@ class CrawlSimulator:
             thr = int(kernels.staleness_threshold_secs([age])[0])
             r["next_fetch_epoch"] = as_of + thr
             fetched_pages.append((r, page))
-            self.pages[r["url_hash"]] = {
+            # per-item sub-pipeline (ref VideoScraper): parse the SAME XML
+            # string the engine fetches (shared kernel — S11/F9 parity),
+            # J1 lookup + P9 staleness gate, upsert, A1/A3 write-back
+            uh = r["url_hash"]
+            entries = kernels.parse_feed_entries(synth.feed_xml_for_url(url))
+            for e in entries:
+                k = (uh, e["item_id"])
+                ex = self.items.get(k)
+                item_age = as_of - e["published_epoch"]
+                ithr = int(kernels.staleness_threshold_secs([item_age])[0])
+                if ex is None or as_of - ex["updated_epoch"] >= ithr:
+                    self.items[k] = {
+                        "title": e["title"],
+                        "published_epoch": e["published_epoch"],
+                        "updated_epoch": as_of,
+                        "views": e["views"],
+                    }
+            self.pages[uh] = {
                 "title": page["title"],
                 "country": page["country"].lower() if page["country"] else None,
                 "keywords": kernels.tokenize_keywords(page["keywords_raw"]),
@@ -153,7 +172,8 @@ class CrawlSimulator:
                 "published_epoch": page["published_epoch"],
                 "views": page["views"],
                 "subscribers": page["subscribers"],
-                "item_count": 0,
+                "item_count": len(entries),
+                "last_item_epoch": max((e["published_epoch"] for e in entries), default=None),
                 "error_msg": None,
             }
             decoded = kernels.decode_image(page["bytes"])

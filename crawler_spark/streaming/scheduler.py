@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 from crawler_spark import synth
 from crawler_spark.operators import fetch as fetch_op
 from crawler_spark.operators import frontier as frontier_op
+from crawler_spark.operators import items as items_op
 from crawler_spark.operators import normalize, politeness, robots, seen
+from crawler_spark.operators import parse as parse_op
 from crawler_spark.schemas import SNAPSHOTS_LOG
 from crawler_spark.tables import SnapshotStore, crawl_bucket_spec, table_state_hash
 
@@ -160,10 +162,22 @@ class CrawlScheduler:
         outcome = fetch_op.fetch_outcome(fetched, as_of_epoch)
         frontier_upd = frontier_op.fetch_update_rows(popped, outcome, as_of)
 
+        # 3b. per-item sub-pipeline (ref VideoScraper, SURVEY §3.3): parse
+        # the raw XML feed payload (S11+F9: Catalyst namespace strip +
+        # Arrow parse UDF + explode), J1-join the existing items of the
+        # touched buckets only, P9 staleness filter -> items upsert rows;
+        # A1/A3 stats feed the pages write-back
+        feed_items = parse_op.parse_feed(fetched).persist()
+        existing_items = st.read_buckets(
+            "items", st.bucket_labels("items", feed_items)
+        )
+        items_upd = items_op.refresh_upserts(feed_items, existing_items, as_of_epoch)
+        stats = items_op.item_stats(feed_items)
+
         # 4. normalize → pages/corpus/metrics upsert rows (batch-sized;
         # persisted so the merge-planning bucket scan doesn't recompute
         # them — to_corpus in particular runs the decode pass)
-        pages_upd = normalize.to_pages(fetched, as_of).persist()
+        pages_upd = normalize.to_pages(fetched, as_of, item_stats=stats).persist()
         corpus_upd = normalize.to_corpus(fetched).persist()
         metrics_upd = normalize.to_metrics(fetched, as_of).persist()
 
@@ -228,6 +242,7 @@ class CrawlScheduler:
             "frontier": st.plan_merge("frontier", frontier_upd, key="url_hash"),
             "pages": st.plan_merge("pages", pages_upd, key="url_hash"),
             "corpus": st.plan_merge("corpus", corpus_upd, key="image_id"),
+            "items": st.plan_merge("items", items_upd, key=["url_hash", "item_id"]),
             "metrics_daily": st.plan_merge(
                 "metrics_daily", metrics_upd, key=["url_hash", "yyyymmdd"]
             ),
@@ -282,7 +297,8 @@ class CrawlScheduler:
             # file (O(1) per commit) instead of rewriting the whole log
             append={"snapshots_log": log_row},
         )
-        unpersist = [popped, fetched, cand, frontier_upd, pages_upd, corpus_upd, metrics_upd]
+        unpersist = [popped, fetched, cand, frontier_upd, pages_upd, corpus_upd,
+                     metrics_upd, feed_items]
         if seen_plan is not None:
             unpersist.append(seen_plan.merged)
         for df in unpersist:
@@ -338,6 +354,7 @@ class CrawlScheduler:
         plans = {
             "frontier": st.plan_merge("frontier", delete=doomed, delete_key="url_hash"),
             "pages": st.plan_merge("pages", delete=doomed, delete_key="url_hash"),
+            "items": st.plan_merge("items", delete=doomed, delete_key="url_hash"),
             "metrics_daily": st.plan_merge(
                 "metrics_daily", delete=doomed, delete_key="url_hash"
             ),

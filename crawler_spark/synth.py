@@ -113,6 +113,50 @@ def page_for_url(url: str, universe: int = 10_000, with_payload: bool = True) ->
     }
 
 
+def feed_items_for_url(url: str) -> list[dict]:
+    """Deterministic per-URL item list (the reference's per-channel video
+    feed, src/scraper/video_scraper.rs) — SEPARATE PRNG stream from
+    page_for_url so adding the feed never perturbs existing page draws
+    (pop-order/corpus parity depends on those)."""
+    r = _rng("feed:" + url)
+    uh = kernels.url_hash64(url)
+    n = int(r.integers(0, 6))
+    return [
+        {
+            "item_id": f"it-{uh & 0xFFFFF:05x}-{i}",
+            "title": " ".join(r.choice(_VOCAB, size=3)),
+            "published_epoch": int(1_500_000_000 + r.integers(0, 250_000_000)),
+            "views": int(r.integers(0, 50_000)),
+        }
+        for i in range(n)
+    ]
+
+
+def feed_xml_for_url(url: str) -> str:
+    """The raw namespaced XML feed STRING a fetch returns — the engine
+    parses it back with the S11/F9 stages (namespace strip + xml->struct
+    + explode), exactly the shape the reference consumes
+    (videos.xml?channel_id=..., src/scraper/video_scraper.rs:132-158)."""
+    from datetime import datetime, timezone
+
+    entries = []
+    for it in feed_items_for_url(url):
+        rfc = datetime.fromtimestamp(it["published_epoch"], tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S+00:00"
+        )
+        entries.append(
+            f"<entry><yt:videoId>{it['item_id']}</yt:videoId>"
+            f"<title>{it['title']}</title>"
+            f"<published>{rfc}</published>"
+            f"<media:group><media:statistics views=\"{it['views']}\"/></media:group>"
+            f"</entry>"
+        )
+    return (
+        '<feed xmlns:yt="http://www.youtube.com/xml/schemas/2015" '
+        'xmlns:media="http://search.yahoo.com/mrss/">' + "".join(entries) + "</feed>"
+    )
+
+
 def fetch_pages(urls: pd.Series, universe: int = 10_000) -> pd.DataFrame:
     """Vectorized batch 'HTTP fetch' — the body of the mapInPandas fetch
     stage (SURVEY §2.10 #2). ~2% of fetches fail deterministically
@@ -123,6 +167,7 @@ def fetch_pages(urls: pd.Series, universe: int = 10_000) -> pd.DataFrame:
         "bytes": None, "w": None, "h": None, "outlinks": None,
         "published_epoch": None, "views": None, "subscribers": None,
         "subscribers_hidden": None, "country": None, "keywords_raw": None,
+        "feed_xml": None,
     }
     rows = []
     for url in urls:
@@ -134,6 +179,7 @@ def fetch_pages(urls: pd.Series, universe: int = 10_000) -> pd.DataFrame:
         p["url"] = url
         p["status"] = 200
         p["error"] = None
+        p["feed_xml"] = feed_xml_for_url(url)
         rows.append(p)
     df = pd.DataFrame(rows)
     # keep int-typed columns object-dtyped so None survives (no NaN floats

@@ -69,6 +69,7 @@ def crawl_bucket_spec(n_shards: int = 16, n_buckets: int = 16) -> dict:
         "seen": {"mode": "hash", "key": "url_hash", "n": n_shards},
         "pages": {"mode": "hash", "key": "url_hash", "n": n_buckets},
         "corpus": {"mode": "hash", "key": "image_id", "n": n_buckets},
+        "items": {"mode": "hash", "key": "url_hash", "n": n_buckets},
         "metrics_daily": {"mode": "value", "key": "yyyymmdd"},
     }
 
@@ -183,6 +184,13 @@ class SnapshotStore:
         h = F.col(key) if ktype in ("bigint", "int") else F.xxhash64(F.col(key))
         return F.pmod(h, F.lit(int(spec["n"]))).cast("int").cast("string")
 
+    def bucket_labels(self, table: str, df: DataFrame) -> list[str]:
+        """The bucket labels a batch's rows hash into (distinct, driver-
+        collected — bounded by the bucket count). Use with read_buckets to
+        scan only the table slice a batch can touch."""
+        bexpr = self._bucket_expr(table)
+        return sorted(r["b"] for r in df.select(bexpr.alias("b")).distinct().collect())
+
     def plan_merge(
         self,
         table: str,
@@ -202,14 +210,13 @@ class SnapshotStore:
         existing bucket — rare cascades pay a full pass; the per-batch
         hot path never does."""
         spec = self.bucket_spec[table]
-        bexpr = self._bucket_expr(table)
         dirty: set[str] = set()
         if upsert is not None:
-            dirty |= {r["b"] for r in upsert.select(bexpr.alias("b")).distinct().collect()}
+            dirty |= set(self.bucket_labels(table, upsert))
         if delete is not None:
             dks = _keys(delete_key or key)
             if spec["key"] in dks:
-                dirty |= {r["b"] for r in delete.select(bexpr.alias("b")).distinct().collect()}
+                dirty |= set(self.bucket_labels(table, delete))
             else:
                 dirty |= set(self._bucket_map(table).keys())
         dirty_sorted = sorted(dirty)

@@ -215,3 +215,62 @@ def test_phash_stable_and_sensitive():
 def test_decode_unknown_magic_raises():
     with pytest.raises(NotImplementedError):
         K.decode_image(b"JPEG00640064" + b"\x00" * 100)
+
+
+# ---------------------------------------------------------------------------
+# XML feed parse (S11 + F9)
+# ---------------------------------------------------------------------------
+
+def test_strip_xml_namespaces_matches_reference_replace():
+    """Ref behavior (video_scraper.rs:145-149) is a blanket string replace
+    — including inside xmlns attribute names — and must be idempotent."""
+    from crawler_spark.kernels import strip_xml_namespaces
+
+    s = '<feed xmlns:yt="u"><yt:videoId>x</yt:videoId><media:group/></feed>'
+    out = strip_xml_namespaces(s)
+    # tag prefixes go; the xmlns:yt attribute is untouched ('yt:' never
+    # occurs inside it — the colon PRECEDES yt), exactly like the ref
+    assert out == '<feed xmlns:yt="u"><ytvideoId>x</ytvideoId><mediagroup/></feed>'
+    assert strip_xml_namespaces(out) == out
+
+
+def test_parse_feed_entries_typed_fields():
+    from crawler_spark.kernels import parse_feed_entries
+
+    xml = (
+        '<feed xmlns:yt="u" xmlns:media="m">'
+        "<entry><yt:videoId>v-1</yt:videoId><title>a b</title>"
+        "<published>2023-05-01T10:00:00+00:00</published>"
+        '<media:group><media:statistics views="42"/></media:group></entry>'
+        "<entry><yt:videoId>v-2</yt:videoId><title>c</title>"
+        "<published>1600000000</published>"
+        '<media:statistics views="7"/></entry>'
+        "</feed>"
+    )
+    out = parse_feed_entries(xml)
+    assert [e["item_id"] for e in out] == ["v-1", "v-2"]
+    assert out[0]["views"] == 42 and out[1]["views"] == 7
+    assert out[0]["published_epoch"] == 1682935200  # RFC-3339 path
+    assert out[1]["published_epoch"] == 1600000000  # epoch-digits path
+    assert parse_feed_entries("<feed></feed>") == []
+    assert parse_feed_entries(None) == []
+
+
+def test_feed_xml_roundtrip_synth():
+    """synth feed -> XML string -> parse recovers the exact items (the
+    simulator and engine share both sides, so this IS the parity kernel)."""
+    from crawler_spark import kernels, synth
+
+    checked = 0
+    for i in range(30):
+        url = synth.url_of_index(i)
+        items = synth.feed_items_for_url(url)
+        parsed = kernels.parse_feed_entries(synth.feed_xml_for_url(url))
+        assert len(parsed) == len(items)
+        for p, it in zip(parsed, items):
+            assert p == {
+                "item_id": it["item_id"], "title": it["title"],
+                "published_epoch": it["published_epoch"], "views": it["views"],
+            }
+        checked += len(items)
+    assert checked > 20

@@ -121,6 +121,36 @@ def test_pages_normalization_matches(engine_and_sim):
         if sp["published_epoch"] is not None:
             got = int(e["published_ts"].replace(tzinfo=timezone.utc).timestamp())
             assert got == sp["published_epoch"]
+        # A1/A3 write-back parity (ref videoCount/lastUploadAt)
+        assert e["item_count"] == sp["item_count"]
+        if sp["last_item_epoch"] is None:
+            assert e["last_item_ts"] is None
+        else:
+            got = int(e["last_item_ts"].replace(tzinfo=timezone.utc).timestamp())
+            assert got == sp["last_item_epoch"]
+
+
+def test_items_table_matches(engine_and_sim):
+    """The per-item sub-pipeline (XML feed parse -> J1 lookup -> P9
+    staleness gate -> upsert) batch-for-batch against the simulator,
+    which parses the SAME feed strings through the same kernel."""
+    eng, sim, *_ = engine_and_sim
+    rows = eng.store.read("items").collect()
+    eng_items = {
+        (r["url_hash"], r["item_id"]): (
+            r["title"],
+            int(r["published_ts"].replace(tzinfo=timezone.utc).timestamp()),
+            int(r["updated_ts"].replace(tzinfo=timezone.utc).timestamp()),
+            r["views"],
+        )
+        for r in rows
+    }
+    sim_items = {
+        k: (v["title"], v["published_epoch"], v["updated_epoch"], v["views"])
+        for k, v in sim.items.items()
+    }
+    assert eng_items == sim_items
+    assert len(eng_items) > 0  # the sub-pipeline actually ran
 
 
 def test_politeness_ledger_matches(engine_and_sim):
@@ -160,7 +190,7 @@ def test_kill_resume_bit_identity(spark, tmp_path_factory):
     b2 = CrawlScheduler(spark, root_b, use_sketch=False, lineage_hashes=False, **pa)
     b2.init()  # idempotent on a non-empty store
     b2.run_batch()
-    for t in ("frontier", "seen", "corpus", "pages", "metrics_daily", "politeness"):
+    for t in ("frontier", "seen", "corpus", "pages", "items", "metrics_daily", "politeness"):
         ha = table_state_hash(a.store.read(t))
         hb = table_state_hash(b2.store.read(t))
         assert ha == hb, f"table {t} diverged after resume"

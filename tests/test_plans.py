@@ -125,3 +125,27 @@ _JVM_ONLY = [
 def test_no_python_in_jvm_queries(name):
     p = plan_str(QUERIES[name](_spark(), SF_SMALL), mode="extended")
     assert "EvalPython" not in p, f"{name} fell back to Python evaluation"
+
+
+def test_embedding_dedup_is_hash_join_not_bnlj():
+    """Round-2 criterion: the registered embedding near-dup query joins on
+    LSH bucket EQUALITY (hash join), never the O(n^2) nested loop; the
+    nested loop survives only in the explicitly-exact baseline query."""
+    p = plan_str(QUERIES["dedup_embedding_cosine"](_spark(), SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in p, "bucketed dedup regressed to all-pairs"
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    p_exact = plan_str(QUERIES["dedup_embedding_cosine_exact"](_spark(), SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in p_exact  # the baseline IS all-pairs
+
+
+def test_embedding_dedup_jvm_only():
+    p = plan_str(QUERIES["dedup_embedding_cosine"](_spark(), SF_SMALL), mode="extended")
+    assert "EvalPython" not in p
+
+
+def test_xml_feed_parse_strip_is_catalyst_side():
+    """F9 (namespace strip) must run as a JVM regexp_replace BEFORE the
+    Arrow parse UDF — only the parse itself pays the Python boundary."""
+    p = plan_str(QUERIES["xml_feed_parse"](_spark(), SF_SMALL), mode="extended")
+    assert "regexp_replace" in p
+    assert "EvalPython" in p  # the xml->struct UDF, by design
