@@ -36,6 +36,11 @@ class CrawlConfig:
     collect_stats: bool = True
     enable_discovery: bool = True
     enable_recrawl: bool = True
+    # per-producer cadences in seconds (0 = every batch) — the reference
+    # runs discovery daily behind a watermark and recrawl every 900 s
+    # (channel_discovery_crawler.rs:109-118, channel_update_crawler.rs:12)
+    discovery_interval_secs: int = 0
+    recrawl_interval_secs: int = 0
     maintenance_every: int = 0  # 0 = off; else compact+gc every N batches
 
     @classmethod

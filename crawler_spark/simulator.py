@@ -48,12 +48,20 @@ class CrawlSimulator:
         k_per_host: int = 8,
         tick_secs: int = 6 * 3600,
         t0_epoch: int = 1_700_000_000,
+        discovery_interval_secs: int = 0,
+        recrawl_interval_secs: int = 0,
     ):
         self.universe = universe
         self.k_per_host = k_per_host
         self.tick_secs = tick_secs
         self.t0_epoch = t0_epoch
         self.batch_id = 0
+        # per-producer cadence watermarks (ref channel_discovery_crawler.rs
+        # :109-118 / channel_update_crawler.rs:12; 0 = every batch)
+        self.discovery_interval_secs = discovery_interval_secs
+        self.recrawl_interval_secs = recrawl_interval_secs
+        self.last_discovery_epoch: int | None = None
+        self.last_recrawl_epoch: int | None = None
         self.terms = synth.FILTER_TERM_LIST
         self.blacklist = set(synth.blacklist_hashes(universe))
         # frontier: url_hash -> row dict
@@ -96,8 +104,15 @@ class CrawlSimulator:
 
     # ------------------------------------------------------------------
 
-    def _pop(self, as_of: int) -> list[dict]:
-        ready = [r for r in self.frontier.values() if r["next_fetch_epoch"] <= as_of]
+    def _gate(self, as_of: int, last: int | None, interval: int) -> bool:
+        return interval <= 0 or last is None or as_of - last >= interval
+
+    def _pop(self, as_of: int, run_recrawl: bool = True) -> list[dict]:
+        ready = [
+            r for r in self.frontier.values()
+            if r["next_fetch_epoch"] <= as_of
+            and (run_recrawl or r["last_fetch_epoch"] is None)
+        ]
         ready.sort(key=lambda r: (r["priority"], r["next_fetch_epoch"], r["url_hash"]))
         today = pacific_day(as_of)
         taken_per_host: dict[int, int] = {}
@@ -117,7 +132,13 @@ class CrawlSimulator:
     def run_batch(self) -> dict:
         as_of = self.t0_epoch + self.batch_id * self.tick_secs
         today = pacific_day(as_of)
-        popped = self._pop(as_of)
+        run_discovery = self._gate(as_of, self.last_discovery_epoch, self.discovery_interval_secs)
+        run_recrawl = self._gate(as_of, self.last_recrawl_epoch, self.recrawl_interval_secs)
+        if run_discovery and self.discovery_interval_secs > 0:
+            self.last_discovery_epoch = as_of
+        if run_recrawl and self.recrawl_interval_secs > 0:
+            self.last_recrawl_epoch = as_of
+        popped = self._pop(as_of, run_recrawl)
         self.pop_log.append([r["url_hash"] for r in popped])
 
         n_ok = n_err = 0
@@ -125,6 +146,8 @@ class CrawlSimulator:
         counts: dict[int, int] = {}
         for r in popped:
             url = r["url"]
+            # per-PAGE quota charge (ref youtube_service.rs:55-73): one
+            # unit for the page itself; discovery pagination adds below
             counts[r["host_hash"]] = counts.get(r["host_hash"], 0) + 1
             r["last_fetch_epoch"] = as_of
             r["priority"] = PRIORITY_UPDATE
@@ -141,6 +164,8 @@ class CrawlSimulator:
                 continue
             page = synth.page_for_url(url, self.universe)
             n_ok += 1
+            # pagination pages of the 50-per-page discovery listing
+            counts[r["host_hash"]] += -(-len(page["outlinks"]) // 50)
             age = as_of - page["published_epoch"]
             thr = int(kernels.staleness_threshold_secs([age])[0])
             r["next_fetch_epoch"] = as_of + thr
@@ -196,6 +221,8 @@ class CrawlSimulator:
 
         # discovery: all outlinks of this batch, min depth per canonical URL
         cand: dict[str, int] = {}
+        if not run_discovery:
+            fetched_pages = []
         for r, page in fetched_pages:
             for raw in page["outlinks"]:
                 cu = kernels.canonicalize_url(raw)

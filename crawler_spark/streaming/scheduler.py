@@ -42,6 +42,11 @@ def _ts(epoch: int) -> datetime:
     return datetime.fromtimestamp(epoch, tz=timezone.utc).replace(tzinfo=None)
 
 
+# discovery pagination size (ref youtube_service.rs:86: 50 subscriptions
+# per API page) — the unit of per-page quota charging
+API_PAGE_SIZE = 50
+
+
 class CrawlScheduler:
     def __init__(
         self,
@@ -59,6 +64,8 @@ class CrawlScheduler:
         collect_stats: bool = True,
         enable_discovery: bool = True,
         enable_recrawl: bool = True,
+        discovery_interval_secs: int = 0,
+        recrawl_interval_secs: int = 0,
         maintenance_every: int | None = None,
     ):
         self.spark = spark
@@ -84,6 +91,14 @@ class CrawlScheduler:
         # producer toggles (ref config.rs:4-9 / main.rs:132-231 gates)
         self.enable_discovery = enable_discovery
         self.enable_recrawl = enable_recrawl
+        # per-producer cadences (ref: the four producers run at different
+        # periods — discovery daily behind the lastDiscoveryCrawl
+        # watermark, channel_discovery_crawler.rs:109-118; recrawl every
+        # 900 s, channel_update_crawler.rs:12). 0 = every batch. The
+        # watermarks persist in snapshot properties, so a resumed run
+        # keeps its cadence phase (T2).
+        self.discovery_interval_secs = discovery_interval_secs
+        self.recrawl_interval_secs = recrawl_interval_secs
         # every N batches: compact the append log + expire old snapshots
         # (semantics-free maintenance; keeps file counts and store size
         # bounded over long crawls)
@@ -120,11 +135,38 @@ class CrawlScheduler:
 
     # -- one micro-batch ----------------------------------------------------
 
+    def _gate(self, as_of_epoch: int, last_epoch, interval: int, enabled: bool) -> bool:
+        """P8 should-crawl gate (ref channel_discovery_crawler.rs:113-118:
+        now - lastDiscoveryCrawl >= interval; missing watermark defaults
+        to eligible, ref settings_repo.rs:25-40 now-1d-1s default)."""
+        if not enabled:
+            return False
+        if interval <= 0 or last_epoch is None:
+            return True
+        return as_of_epoch - int(last_epoch) >= interval
+
     def run_batch(self) -> dict:
         st = self.store
-        batch_id = int(st.properties().get("batch_id", 0))
+        props = st.properties()
+        batch_id = int(props.get("batch_id", 0))
         as_of_epoch = self.t0_epoch + batch_id * self.tick_secs
         as_of = _ts(as_of_epoch)
+        run_discovery = self._gate(
+            as_of_epoch, props.get("last_discovery_epoch"),
+            self.discovery_interval_secs, self.enable_discovery,
+        )
+        run_recrawl = self._gate(
+            as_of_epoch, props.get("last_recrawl_epoch"),
+            self.recrawl_interval_secs, self.enable_recrawl,
+        )
+        # watermarks advance whenever the producer's gate opened this
+        # batch (the reference stamps lastDiscoveryCrawl after each —
+        # possibly empty — pass, channel_discovery_crawler.rs:101-104)
+        wm_props: dict = {}
+        if run_discovery and self.discovery_interval_secs > 0:
+            wm_props["last_discovery_epoch"] = as_of_epoch
+        if run_recrawl and self.recrawl_interval_secs > 0:
+            wm_props["last_recrawl_epoch"] = as_of_epoch
 
         frontier = st.read("frontier")
         seen_tbl = st.read("seen")
@@ -135,16 +177,17 @@ class CrawlScheduler:
         sketches = st.read("seen_sketch") if self.use_sketch else None
 
         # 1. pop (S4/O1/W1 + politeness cap A4: quota AND min-delay rate).
-        # With recrawl disabled only never-fetched rows are eligible
-        # (ref: ChannelUpdateCrawler gate, main.rs:206)
-        pop_src = frontier if self.enable_recrawl else frontier.filter(
+        # When the recrawl producer's cadence gate is closed (or recrawl
+        # is disabled), only never-fetched rows are eligible
+        # (ref: ChannelUpdateCrawler gate, main.rs:206 + 900 s cadence)
+        pop_src = frontier if run_recrawl else frontier.filter(
             F.col("last_fetch_ts").isNull()
         )
         budget = politeness.remaining_budget(polite, as_of, self.tick_secs)
         popped = frontier_op.pop(pop_src, as_of, self.k_per_host, budget).persist()
         n_popped = popped.count()
         if n_popped == 0:
-            st.commit({}, properties={"batch_id": batch_id + 1})
+            st.commit({}, properties={"batch_id": batch_id + 1, **wm_props})
             return {"batch_id": batch_id, "popped": 0, "fetched_ok": 0,
                     "errors": 0, "admitted": 0, "rejected": 0}
 
@@ -187,7 +230,7 @@ class CrawlScheduler:
         cand = None
         n_admitted = n_rejected = 0
         seen_add = None
-        if self.enable_discovery:
+        if run_discovery:
             cand = normalize.discover_candidates(fetched, self.universe)
             cand = robots.filter_allowed(cand, robots_tbl)
             cand = seen.filter_unseen(cand, seen_tbl, sketches, self.n_shards)
@@ -231,8 +274,17 @@ class CrawlScheduler:
             )
 
         # 7. politeness charge (S16 inc-or-reset; small dim table — full
-        # rewrite is O(hosts), not worth bucketing)
-        counts = popped.groupBy("host_hash").agg(F.count("*").alias("n"))
+        # rewrite is O(hosts), not worth bucketing). Charged PER API PAGE,
+        # not per URL (ref youtube_service.rs:55-73 charges inside the
+        # pagination loop): 1 unit for the page fetch + 1 per 50-outlink
+        # discovery page. Pop reserves 1 unit/URL pessimistically, so a
+        # batch can overshoot by (pages-1)/URL — the reference does the
+        # same, aborting pagination only at the NEXT page's quota check.
+        page_cost = F.lit(1) + F.when(
+            F.col("status") == 200,
+            F.ceil(F.coalesce(F.size("outlinks"), F.lit(0)) / F.lit(API_PAGE_SIZE)),
+        ).otherwise(F.lit(0))
+        counts = fetched.groupBy("host_hash").agg(F.sum(page_cost).alias("n"))
         new_polite = politeness.charge(polite, counts, as_of)
 
         # plan the copy-on-write MERGEs: each plan reads ONLY the buckets
@@ -291,7 +343,8 @@ class CrawlScheduler:
         log_row = self.spark.createDataFrame(rows, SNAPSHOTS_LOG)
         st.commit(
             changed,
-            properties={"batch_id": batch_id + 1, "watermark_epoch": as_of_epoch},
+            properties={"batch_id": batch_id + 1, "watermark_epoch": as_of_epoch,
+                        **wm_props},
             merge=plans,
             # lineage log is grow-only: append the batch row as a delta
             # file (O(1) per commit) instead of rewriting the whole log
@@ -379,12 +432,19 @@ class CrawlScheduler:
     def popped_order(self, as_of_epoch: int) -> list[int]:
         """The deterministic pop order for parity checks: url_hashes the
         NEXT batch would pop, in the total (priority, next_fetch_ts,
-        url_hash) order."""
+        url_hash) order (honoring the recrawl cadence gate)."""
         as_of = _ts(as_of_epoch)
+        run_recrawl = self._gate(
+            as_of_epoch, self.store.properties().get("last_recrawl_epoch"),
+            self.recrawl_interval_secs, self.enable_recrawl,
+        )
+        frontier = self.store.read("frontier")
+        if not run_recrawl:
+            frontier = frontier.filter(F.col("last_fetch_ts").isNull())
         budget = politeness.remaining_budget(
             self.store.read("politeness"), as_of, self.tick_secs
         )
-        popped = frontier_op.pop(self.store.read("frontier"), as_of, self.k_per_host, budget)
+        popped = frontier_op.pop(frontier, as_of, self.k_per_host, budget)
         rows = popped.orderBy(*[F.col(c).asc() for c in frontier_op.POP_ORDER]).select(
             "url_hash"
         ).collect()
