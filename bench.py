@@ -65,6 +65,17 @@ def main() -> None:
         secs, _ = run_query(spark, qs[name], SF_DIR)
         times[name] = round(secs, 3)
 
+    # hot-spot tracking (round-2 bench hygiene): the two dedup
+    # heavyweights dominate the headline total, so measure them at a
+    # SECOND scale factor too — a regression that scales with data
+    # shows up as a ratio change between the two SFs, not just noise
+    # in the big number
+    hotspot: dict[str, float] = {}
+    for name in ("dedup_minhash_lsh", "dedup_jaccard_pairs"):
+        spark.catalog.clearCache()
+        secs, _ = run_query(spark, qs[name], "/root/testdata/sf0.01")
+        hotspot[name] = round(secs, 3)
+
     result = {
         "metric": "headline_query_total",
         "value": round(sum(times.values()), 3),
@@ -72,6 +83,7 @@ def main() -> None:
         "queries": times,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "hotspot_sf0.01": hotspot,
     }
 
     # crawl-pipeline throughput (fetched-URLs/s, pops/s) once the scheduler
