@@ -171,7 +171,17 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    with open(os.path.join(here, "BENCH.md"), "w") as f:
+    # preserve hand-maintained sections (round-over-round baseline table)
+    # below the generated scaling block
+    bench_md = os.path.join(here, "BENCH.md")
+    preserved = ""
+    if os.path.exists(bench_md):
+        with open(bench_md) as f:
+            old = f.read()
+        marker = "\n## Round-over-round baseline"
+        if marker in old:
+            preserved = marker + old.split(marker, 1)[1]
+    with open(bench_md, "w") as f:
         f.write(
             "# BENCH — scaling evidence (N vs 4N parallelism)\n\n"
             "Same job, same input, two parallelism levels (sandbox stand-in\n"
@@ -203,6 +213,7 @@ def main() -> None:
             f"{results['pop'][n]['secs'] / results['pop'][n4]['secs']:.2f}x | {eff['pop']:.3f} |\n\n"
             f"Raw: `{json.dumps(results)}`\n"
         )
+        f.write(preserved)
 
 
 if __name__ == "__main__":

@@ -33,8 +33,8 @@ from crawler_spark.operators import frontier as frontier_op
 from crawler_spark.operators import items as items_op
 from crawler_spark.operators import normalize, politeness, robots, seen
 from crawler_spark.operators import parse as parse_op
-from crawler_spark.schemas import SNAPSHOTS_LOG
-from crawler_spark.tables import SnapshotStore, crawl_bucket_spec, table_state_hash
+from crawler_spark.schemas import SNAPSHOTS_LOG, TABLE_SCHEMAS
+from crawler_spark.tables import SnapshotStore, crawl_bucket_spec
 
 
 def _ts(epoch: int) -> datetime:
@@ -144,6 +144,34 @@ class CrawlScheduler:
         if interval <= 0 or last_epoch is None:
             return True
         return as_of_epoch - int(last_epoch) >= interval
+
+    def _frontier_lineage_hash(self, plan, props) -> tuple[str, dict]:
+        """Incremental whole-table frontier hash, O(dirty buckets) per
+        batch: table_state_hash's sum-of-xxhash64 is ASSOCIATIVE, so the
+        global hash is the (64-bit-masked) sum of per-bucket sums —
+        recompute sums only for the plan's dirty buckets and carry the
+        clean buckets' sums forward in snapshot properties. Bootstrap (or
+        after an out-of-band mutation invalidates the property) pays one
+        full pass. Returns (hash_hex, new_bucket_sums)."""
+        st = self.store
+        cols = [f.name for f in TABLE_SCHEMAS["frontier"].fields]
+        hexpr = F.sum(
+            F.xxhash64(*[F.col(c).cast("string") for c in cols]).cast("decimal(38,0)")
+        ).alias("h")
+        bexpr = st._bucket_expr("frontier").alias("b")
+        prev = props.get("frontier_bucket_hashes")
+        if prev is None:
+            rows = st.merged_full(plan).groupBy(bexpr).agg(hexpr).collect()
+            sums = {r["b"]: int(r["h"] or 0) for r in rows}
+        else:
+            sums = {k: int(v) for k, v in prev.items()}
+            for lbl in plan.dirty:
+                sums.pop(lbl, None)
+            rows = plan.merged.groupBy(bexpr).agg(hexpr).collect()
+            for r in rows:
+                sums[r["b"]] = int(r["h"] or 0)
+        ghash = format(sum(sums.values()) & ((1 << 64) - 1), "016x")
+        return ghash, sums
 
     def run_batch(self) -> dict:
         st = self.store
@@ -323,9 +351,10 @@ class CrawlScheduler:
         sid_next = st.snapshot_id + 1
         rows = []
         if self.lineage_hashes:
+            fr_hash, fr_bucket_sums = self._frontier_lineage_hash(plans["frontier"], props)
+            wm_props["frontier_bucket_hashes"] = fr_bucket_sums
             rows.append((sid_next, batch_id, as_of, "frontier",
-                         table_state_hash(st.merged_full(plans["frontier"])),
-                         n_ok, n_err, as_of))
+                         fr_hash, n_ok, n_err, as_of))
             if seen_plan is not None:
                 shard_hashes = (
                     seen_plan.merged.groupBy("shard_id")
@@ -415,6 +444,9 @@ class CrawlScheduler:
             "seen": seen_plan,
         }
         changed = {"blacklist": merge_upsert(st.read("blacklist"), doomed, "url_hash")}
+        # the out-of-band frontier mutation invalidates the incremental
+        # lineage sums; the next batch bootstraps them with one full pass
+        cascade_props = {"frontier_bucket_hashes": None}
         if self.use_sketch:
             # keep dirty shards' sketches consistent with the flipped rows
             changed["seen_sketch"] = seen.update_sketches(
@@ -423,7 +455,7 @@ class CrawlScheduler:
                 self.n_shards,
                 snapshot_id=st.snapshot_id + 1,
             )
-        st.commit(changed, merge=plans)
+        st.commit(changed, merge=plans, properties=cascade_props)
         seen_plan.merged.unpersist()
         return {"blacklisted": len(url_hashes)}
 

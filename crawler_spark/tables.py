@@ -255,7 +255,12 @@ class SnapshotStore:
         bucket writes nothing and simply drops out of the map)."""
         rel = os.path.join("data", name, f"snap-{sid:08d}")
         full = os.path.join(self.root, rel)
-        out = df.withColumn(_BUCKET_COL, self._bucket_expr(name))
+        # canonical column order in the files: joins move key columns to
+        # the front of a DataFrame, and a drifting file order would make
+        # column-order-sensitive derivations (table_state_hash) disagree
+        # across snapshots
+        cols = [f.name for f in TABLE_SCHEMAS[name].fields]
+        out = df.select(*cols).withColumn(_BUCKET_COL, self._bucket_expr(name))
         (
             out.repartition(max(1, n_tasks), _BUCKET_COL)
             .write.partitionBy(_BUCKET_COL)
@@ -317,6 +322,7 @@ class SnapshotStore:
             rel = os.path.join("data", name, f"snap-{sid:08d}")
             full = os.path.join(self.root, rel)
             pcols = partition_by.get(name)
+            df = df.select(*[f.name for f in TABLE_SCHEMAS[name].fields])
             # bound output file count: one commit never fans out to more
             # files than files_per_table per partition value
             writer = df.repartition(self.files_per_table).write

@@ -60,3 +60,17 @@ def test_lineage_identical_across_runs(spark, tmp_path_factory):
     assert latest_logged, "no shard lineage rows were logged"
     for name, (_, h) in latest_logged.items():
         assert recomputed[name] == h, f"{name}: logged {h} != recomputed {recomputed[name]}"
+
+
+def test_incremental_frontier_hash_equals_full(spark, tmp_path_factory):
+    """The O(dirty-buckets) incremental frontier lineage hash (sum of
+    per-bucket xxhash64 sums carried in snapshot properties) must equal
+    a from-scratch table_state_hash of the final frontier."""
+    from crawler_spark.tables import table_state_hash
+
+    s = _run(spark, str(tmp_path_factory.mktemp("linH")), 3)
+    log = s.store.read("snapshots_log").collect()
+    last = max(
+        (r for r in log if r["table_name"] == "frontier"), key=lambda r: r["batch_id"]
+    )
+    assert last["partition_state_hash"] == table_state_hash(s.store.read("frontier"))
