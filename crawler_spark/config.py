@@ -31,6 +31,7 @@ class CrawlConfig:
     t0_epoch: int = 1_700_000_000
     n_shards: int = 16
     use_sketch: bool = True
+    sketch_probe: str = "broadcast"  # or "partitioned" (10^10-key path)
     lineage_hashes: bool = True
     quota_boost: int = 1
     collect_stats: bool = True
@@ -58,9 +59,12 @@ class CrawlConfig:
             key = f"CRAWLER_SPARK_{f.name.upper()}"
             if key in env:
                 raw = env[key]
-                vals[f.name] = (
-                    raw.lower() in ("1", "true", "yes") if f.type == "bool" else int(raw)
-                )
+                if f.type == "bool":
+                    vals[f.name] = raw.lower() in ("1", "true", "yes")
+                elif f.type == "str":
+                    vals[f.name] = raw
+                else:
+                    vals[f.name] = int(raw)
         return cls(**vals)
 
     def scheduler_kwargs(self) -> dict:

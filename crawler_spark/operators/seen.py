@@ -116,21 +116,36 @@ def filter_unseen(
     seen: DataFrame,
     sketches: DataFrame | None = None,
     n_shards: int = N_SHARDS_DEFAULT,
+    probe: str = "broadcast",
 ) -> DataFrame:
     """Return candidates NOT in the seen set (J2/J3).
 
     Without sketches: plain left-anti join on url_hash. With sketches:
-    probe first (vectorized pandas UDF over the broadcast sketch dict);
-    `definitely new` bypasses the join, `maybe seen` takes the exact
-    anti-join; union of both is returned.
-    """
+    probe first; `definitely new` bypasses the join, `maybe seen` takes
+    the exact anti-join; union of both is returned.
+
+    probe="broadcast" ships the whole sketch table to every executor
+    (right while the sketch set is MBs). probe="partitioned" is the
+    10^10-key path (16Ki shards ≈ 12.5 GB of bloom bits — unbroadcastable):
+    candidates repartition by shard_id and COGROUP with the sketch rows,
+    so each shard's filter bits ship only to the partition probing that
+    shard. Results are identical (tested)."""
     if sketches is None:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
 
+    if probe == "partitioned":
+        probed = _probe_partitioned(candidates, sketches, n_shards)
+    else:
+        probed = _probe_broadcast(candidates, sketches, n_shards)
+    definite_new = probed.filter(~F.col("__maybe")).drop("__maybe")
+    suspect = probed.filter(F.col("__maybe")).drop("__maybe")
+    confirmed_new = suspect.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return definite_new.unionByName(confirmed_new).select(*candidates.columns)
+
+
+def _probe_broadcast(candidates: DataFrame, sketches: DataFrame, n_shards: int) -> DataFrame:
     spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast(
-        [r.asDict() for r in sketches.collect()]
-    )
+    bc = spark.sparkContext.broadcast([r.asDict() for r in sketches.collect()])
 
     @F.pandas_udf(BooleanType())
     def maybe_seen(url_hash: pd.Series) -> pd.Series:
@@ -143,11 +158,42 @@ def filter_unseen(
                 out.loc[grp.index] = f.maybe_contains(grp.to_numpy())
         return out
 
-    probed = candidates.withColumn("__maybe", maybe_seen(F.col("url_hash")))
-    definite_new = probed.filter(~F.col("__maybe")).drop("__maybe")
-    suspect = probed.filter(F.col("__maybe")).drop("__maybe")
-    confirmed_new = suspect.join(seen.select("url_hash"), "url_hash", "left_anti")
-    return definite_new.unionByName(confirmed_new)
+    return candidates.withColumn("__maybe", maybe_seen(F.col("url_hash")))
+
+
+def _probe_partitioned(candidates: DataFrame, sketches: DataFrame, n_shards: int) -> DataFrame:
+    """Cogroup candidates with their shard's sketch row: one shuffle of
+    the (small) candidate batch keyed by shard_id, and each shard's
+    filter bits travel once to exactly one partition — no broadcast of
+    the sketch set. The UDF output drops the helper shard column."""
+    from pyspark.sql.types import BooleanType as _B
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    cand_s = with_shard(candidates, n_shards)
+    out_schema = _ST(list(cand_s.schema.fields) + [_SF("__maybe", _B())])
+    cand_cols = list(cand_s.columns)
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.copy()
+        if left.empty:
+            left["__maybe"] = pd.Series(dtype=bool)
+            return left[cand_cols + ["__maybe"]]
+        if right.empty:
+            left["__maybe"] = False
+            return left[cand_cols + ["__maybe"]]
+        f = _load_sketches(right.to_dict("records"))[int(right["shard_id"].iloc[0])]
+        left["__maybe"] = f.maybe_contains(left["url_hash"].to_numpy())
+        return left[cand_cols + ["__maybe"]]
+
+    res = (
+        cand_s.groupBy("shard_id")
+        .cogroup(sketches.groupBy("shard_id"))
+        .applyInPandas(_probe, out_schema)
+    )
+    # filter_unseen's final select(*candidates.columns) trims the helper
+    # shard column for callers that didn't have one
+    return res
 
 
 def remove_from_seen(

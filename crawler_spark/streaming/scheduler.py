@@ -59,6 +59,7 @@ class CrawlScheduler:
         t0_epoch: int = 1_700_000_000,
         n_shards: int = seen.N_SHARDS_DEFAULT,
         use_sketch: bool = True,
+        sketch_probe: str = "broadcast",
         lineage_hashes: bool = True,
         quota_boost: int = 1,
         collect_stats: bool = True,
@@ -82,6 +83,10 @@ class CrawlScheduler:
         self.t0_epoch = t0_epoch
         self.n_shards = n_shards
         self.use_sketch = use_sketch
+        # "broadcast" while the sketch set is MBs; "partitioned" cogroups
+        # candidates with their shard's sketch row (the 10^10-key path
+        # where the sketch set is GBs — see seen.filter_unseen)
+        self.sketch_probe = sketch_probe
         self.lineage_hashes = lineage_hashes
         self.quota_boost = quota_boost  # bench knob: scale politeness quotas
         # collect_stats=False skips the per-batch counter jobs (admitted/
@@ -197,7 +202,6 @@ class CrawlScheduler:
             wm_props["last_recrawl_epoch"] = as_of_epoch
 
         frontier = st.read("frontier")
-        seen_tbl = st.read("seen")
         polite = st.read("politeness")
         robots_tbl = st.read("robots")
         blacklist = st.read("blacklist")
@@ -255,13 +259,23 @@ class CrawlScheduler:
         # 5. discovery admission: explode → robots → seen → classify (P7);
         # gated by enable_discovery (ref ChannelDiscoveryCrawler flag,
         # main.rs:157)
-        cand = None
+        cand = raw_cand = None
         n_admitted = n_rejected = 0
         seen_add = None
         if run_discovery:
-            cand = normalize.discover_candidates(fetched, self.universe)
-            cand = robots.filter_allowed(cand, robots_tbl)
-            cand = seen.filter_unseen(cand, seen_tbl, sketches, self.n_shards)
+            raw_cand = normalize.discover_candidates(fetched, self.universe)
+            raw_cand = robots.filter_allowed(raw_cand, robots_tbl).persist()
+            # prune the EXACT dedup check to the candidates' own seen
+            # buckets: a candidate can only collide inside the bucket its
+            # url_hash lands in, so both anti-join sides shrink to the
+            # batch's buckets — at 10^10 seen rows / 16Ki shards this is
+            # the difference between scanning TBs and scanning the few
+            # bucket files a batch touches
+            cand_labels = st.bucket_labels("seen", raw_cand)
+            seen_slice = st.read_buckets("seen", cand_labels)
+            cand = seen.filter_unseen(
+                raw_cand, seen_slice, sketches, self.n_shards, probe=self.sketch_probe
+            )
             cand = normalize.admission_verdict(
                 cand.withColumn("ignore_filter_terms", F.lit(False)), terms, blacklist
             ).persist()
@@ -379,8 +393,8 @@ class CrawlScheduler:
             # file (O(1) per commit) instead of rewriting the whole log
             append={"snapshots_log": log_row},
         )
-        unpersist = [popped, fetched, cand, frontier_upd, pages_upd, corpus_upd,
-                     metrics_upd, feed_items]
+        unpersist = [popped, fetched, cand, raw_cand, frontier_upd, pages_upd,
+                     corpus_upd, metrics_upd, feed_items]
         if seen_plan is not None:
             unpersist.append(seen_plan.merged)
         for df in unpersist:

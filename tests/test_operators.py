@@ -96,6 +96,11 @@ def test_seen_exact_and_sketch_equivalence(spark):
     a = sorted(r["url_hash"] for r in exact.collect())
     b = sorted(r["url_hash"] for r in fast.collect())
     assert a == b == list(range(1, 50, 2))
+    # the partitioned (cogroup) probe — the unbroadcastable-sketch scale
+    # path — must agree exactly, including the column set
+    part = seen.filter_unseen(cand, seen_tbl, sketches, probe="partitioned")
+    assert sorted(r["url_hash"] for r in part.collect()) == a
+    assert part.columns == cand.columns
 
 
 def test_sketch_merge_table(spark):

@@ -198,20 +198,26 @@ def test_kill_resume_bit_identity(spark, tmp_path_factory):
 
 
 def test_sketch_off_equals_sketch_on(spark, tmp_path_factory):
-    """The sketch is an accelerator only: with/without must be identical."""
+    """The sketch is an accelerator only: off / broadcast probe /
+    partitioned (cogroup) probe must all produce identical state."""
     pa = dict(PARAMS)
     pa["universe"] = 400
-    roots = [str(tmp_path_factory.mktemp(f"sk{i}")) for i in range(2)]
+    variants = [
+        dict(use_sketch=True, sketch_probe="broadcast"),
+        dict(use_sketch=False),
+        dict(use_sketch=True, sketch_probe="partitioned"),
+    ]
     outs = []
-    for root, sk in zip(roots, (True, False)):
-        s = CrawlScheduler(spark, root, use_sketch=sk, lineage_hashes=False, **pa)
+    for i, v in enumerate(variants):
+        root = str(tmp_path_factory.mktemp(f"sk{i}"))
+        s = CrawlScheduler(spark, root, lineage_hashes=False, **pa, **v)
         s.init()
         [s.run_batch() for _ in range(2)]
         outs.append({
             t: table_state_hash(s.store.read(t))
             for t in ("frontier", "seen", "corpus")
         })
-    assert outs[0] == outs[1]
+    assert outs[0] == outs[1] == outs[2]
 
 
 def test_mixed_cadence_parity(spark, tmp_path_factory):
