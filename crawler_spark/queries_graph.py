@@ -121,3 +121,68 @@ def q_dedup_cluster_components(spark, sf_dir):
         return labels.select("doc_id", "cluster_id")
     finally:
         edges.unpersist()
+
+
+_CANONICAL_SQL = f"""
+    WITH j AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM ({_CC_SQL}) c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS canonical_doc_id, n_members FROM (
+      SELECT cluster_id, doc_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM j) WHERE rn = 1
+"""
+
+
+@register("dedup_canonical_docs", _CANONICAL_SQL)
+def q_dedup_canonical_docs(spark, sf_dir):
+    """The END of the dedup pipeline: per near-dup cluster keep ONE
+    canonical document (longest text, doc_id tiebreak) — pairs ->
+    components -> canonical selection, the sequence a training-data
+    pipeline runs before tokenization. One window over cluster_id on top
+    of the components result; at scale cluster_id is the shuffle key and
+    clusters are tiny (LSH bands bound their size)."""
+    from pyspark.sql import Window
+
+    clusters = q_dedup_cluster_components(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_doc_id"), "n_members")
+    )
+
+
+_SAMPLE_SQL = """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 <
+          CASE WHEN lang = 'en' THEN 80 ELSE 30 END
+"""
+
+
+@register("sample_stratified", _SAMPLE_SQL)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for training-mix rebalancing:
+    keep a per-stratum fraction (80% of 'en', 30% of the rest) decided by
+    a hash of the KEY, not by rand() — reproducible across runs, engines
+    and partitionings (the md5-prefix hash is the repo's portable-hash
+    convention). Embarrassingly parallel: a pure filter, no shuffle, and
+    the predicate composes with any downstream sampler."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(80)).otherwise(F.lit(30))
+    return d.filter(h < rate).select("doc_id", "lang")

@@ -117,16 +117,55 @@ def stateful_first_seen(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(df: DataFrame, name: str, checkpoint_dir: str):
+def run_to_memory(df: DataFrame, name: str, checkpoint_dir: str, mode: str | None = None):
     """Drain all available input (availableNow trigger) into a memory
-    sink; returns after the stream completes — deterministic for tests."""
+    sink; returns after the stream completes — deterministic for tests.
+    `mode` defaults to append for stateful-map outputs and complete for
+    aggregations."""
+    if mode is None:
+        mode = "complete" if "sum_value" in df.columns else "append"
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if "first_event_id" in df.columns else "complete")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return q
+
+
+_RATE_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+])
+
+_RATE_STATE = StructType([StructField("used", LongType())])
+
+
+def stateful_rate_limit(events: DataFrame, k: int = 5) -> DataFrame:
+    """T4: stateful per-key rate limiting as a stream — admit at most k
+    events per key over the stream's lifetime, carrying the used count
+    in state across micro-batches (the streaming twin of the politeness
+    token table; ref apikeys quota, src/repos/apikeys_repo.rs:39-67).
+    Deterministic: events admit in event_id order within each batch."""
+
+    def _fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        used = state.get[0] if state.exists else 0
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["event_id"])
+        ids.sort()
+        admit = ids[: max(0, k - used)]
+        state.update((used + len(ids),))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "event_id": e} for e in admit],
+            columns=["user_id", "event_id"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _fn, _RATE_OUT, _RATE_STATE, "append", GroupStateTimeout.NoTimeout
+    )

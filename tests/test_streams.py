@@ -78,3 +78,28 @@ def test_stateful_first_seen(spark, events_dir, tmp_path_factory):
     want = {r["user_id"]: (r["first_event_id"], r["n_new"]) for r in batch}
     # every key appears exactly once (dedup-with-state), with its first id
     assert got == want
+
+
+def test_stateful_rate_limit_caps_per_key(spark, tmp_path):
+    """T4 twin: at most k events admitted per key across the whole
+    stream, lowest event_ids first (deterministic admission)."""
+    from crawler_spark.streaming import streams
+
+    d = streams.stage_events_dir(SF_SMALL, str(tmp_path / "ev_rate"))
+    ev = streams.events_stream(spark, d)
+    out = streams.stateful_rate_limit(ev, k=3)
+    streams.run_to_memory(out, "rate_limited", str(tmp_path / "ck_rate"))
+    got = spark.sql("SELECT * FROM rate_limited").toPandas()
+    per_key = got.groupby("user_id")["event_id"].agg(["count", "min"])
+    assert (per_key["count"] <= 3).all()
+    # admitted == the 3 smallest event_ids of each user (batch order can't leak)
+    import duckdb
+    truth = duckdb.sql(
+        f"""SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) rn
+              FROM parquet_scan('{SF_SMALL}/events.parquet')) WHERE rn <= 3"""
+    ).df()
+    a = set(map(tuple, got[["user_id", "event_id"]].itertuples(index=False)))
+    b = set(map(tuple, truth.itertuples(index=False)))
+    assert a == b

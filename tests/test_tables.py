@@ -305,3 +305,27 @@ def test_cow_value_mode_metrics_day_partitions(spark, tmp_path):
     # the real yyyymmdd column survives in the files (readers don't depend
     # on hive dir names) and predicate pushdown can prune on it
     assert store.read("metrics_daily").filter(F.col("yyyymmdd") == 20240101).count() == 1
+
+
+def test_cow_crash_mid_commit_leaves_head_intact(cow_store, spark):
+    """Bucketed analogue of the crash test: bucket data dirs (possibly a
+    PARTIAL set) written for an uncommitted snapshot are invisible until
+    the manifest/HEAD swap — the only commit point — and gc reclaims the
+    orphans at bucket granularity."""
+    cow_store.commit({"blacklist": _bl(spark, range(8))})
+    # 'crash' after writing one bucket dir of would-be snap-2 but before
+    # the manifest existed
+    orphan = os.path.join(
+        cow_store.root, "data", "blacklist", "snap-00000002", "__bucket=1"
+    )
+    os.makedirs(orphan, exist_ok=True)
+    assert cow_store.snapshot_id == 1
+    assert sorted(r["url_hash"] for r in cow_store.read("blacklist").collect()) == list(range(8))
+    # the next commit takes sid=2 and its bucket map never references the
+    # orphan (its own write replaced the dir contents wholesale)
+    plan = cow_store.plan_merge("blacklist", upsert=_bl(spark, [1]), key="url_hash")
+    cow_store.commit({}, merge={"blacklist": plan})
+    assert cow_store.snapshot_id == 2
+    assert sorted(r["url_hash"] for r in cow_store.read("blacklist").collect()) == list(range(8))
+    cow_store.gc(keep_last=1)
+    assert sorted(r["url_hash"] for r in cow_store.read("blacklist").collect()) == list(range(8))
