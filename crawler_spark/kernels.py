@@ -476,3 +476,126 @@ def parse_feed_entries(payload: str) -> list[dict]:
             "views": views,
         })
     return out
+
+
+# ---------------------------------------------------------------------------
+# Audio codec (deterministic fake) + features
+# ---------------------------------------------------------------------------
+# Same stub contract as the image codec: real MP3/WAV/OGG decode needs an
+# audio library not present in this sandbox, so decode_audio raises
+# NotImplementedError for anything but the deterministic CSAU container.
+# The Spark-side plumbing (binary column, typed metadata, Arrow-batched
+# mapInPandas, explicit fan-out) is real.
+
+_MAGIC_AUDIO = b"CSAU"  # int16 PCM mono: magic + rate(5) + n(8) + samples
+
+
+def encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """Encode mono int16 PCM samples into the CSAU container."""
+    header = b"%s%05d%08d" % (_MAGIC_AUDIO, rate, samples.shape[0])
+    return header + samples.astype("<i2").tobytes()
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a CSAU payload -> (int16 samples, sample_rate). Real
+    MP3/WAV payloads would dispatch to an audio library here."""
+    if payload[:4] != _MAGIC_AUDIO:
+        raise NotImplementedError(
+            "real MP3/WAV/OGG decode requires an audio library not present "
+            "in this container; only the deterministic CSAU container is "
+            "supported"
+        )
+    rate = int(payload[4:9])
+    n = int(payload[9:17])
+    samples = np.frombuffer(payload[17:17 + 2 * n], dtype="<i2")
+    return samples.copy(), rate
+
+
+def audio_features(samples: np.ndarray, rate: int) -> dict:
+    """Feature-extract: duration, RMS loudness (dBFS), zero-crossing
+    rate, peak amplitude. All exact integer/float math — deterministic
+    across platforms (no FFT libs needed)."""
+    n = samples.shape[0]
+    if n == 0:
+        return {"duration_s": 0.0, "rms_dbfs": -120.0, "zcr": 0.0, "peak": 0}
+    x = samples.astype("float64")
+    rms = float(np.sqrt(np.mean(x * x)))
+    rms_dbfs = -120.0 if rms == 0 else float(20.0 * np.log10(rms / 32768.0))
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return {
+        "duration_s": float(n / rate),
+        "rms_dbfs": rms_dbfs,
+        "zcr": float(zc / n),
+        "peak": int(np.max(np.abs(samples))),
+    }
+
+
+def synth_audio(audio_id: str, rate: int = 16_000) -> np.ndarray:
+    """Deterministic per-id PCM clip: two sine partials + noise, 0.2-1.0 s
+    (same PRNG-from-id recipe as synth_pixels)."""
+    seed = url_hash64("au:" + audio_id) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(rate // 5, rate + 1))
+    t = np.arange(n, dtype="float64") / rate
+    f1 = float(rng.integers(80, 2000))
+    f2 = float(rng.integers(2000, 7000))
+    wave = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.2 * np.sin(2 * np.pi * f2 * t)
+    wave += rng.normal(0.0, 0.02, size=n)
+    return np.clip(wave * 20000.0, -32768, 32767).astype("int16")
+
+
+# ---------------------------------------------------------------------------
+# Video codec (deterministic fake) + frame sampling
+# ---------------------------------------------------------------------------
+
+_MAGIC_VIDEO = b"CSVI"  # magic + n_frames(4) + h(4) + w(4) + frames uint8
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """Encode an (n, h, w) uint8 grayscale frame stack into CSVI."""
+    n, h, w = frames.shape
+    header = b"%s%04d%04d%04d" % (_MAGIC_VIDEO, n, h, w)
+    return header + frames.astype("uint8").tobytes()
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """Decode a CSVI payload -> (n, h, w) uint8 frames. Real MP4/WebM
+    would dispatch to a video library (pyav/ffmpeg) here."""
+    if payload[:4] != _MAGIC_VIDEO:
+        raise NotImplementedError(
+            "real MP4/WebM decode requires a video library not present in "
+            "this container; only the deterministic CSVI container is "
+            "supported"
+        )
+    n = int(payload[4:8])
+    h, w = int(payload[8:12]), int(payload[12:16])
+    return np.frombuffer(payload[16:16 + n * h * w], dtype="uint8").reshape(n, h, w).copy()
+
+
+def sample_frames(frames: np.ndarray, every_k: int) -> list[int]:
+    """Frame-sample indices: every k-th frame plus always the last (scene
+    boundaries are synthetic; fixed-stride is the deterministic baseline)."""
+    n = frames.shape[0]
+    idx = list(range(0, n, every_k))
+    if idx and idx[-1] != n - 1:
+        idx.append(n - 1)
+    return idx
+
+
+def synth_video(video_id: str, min_frames: int = 4, max_frames: int = 12) -> np.ndarray:
+    """Deterministic per-id frame stack: a synth_pixels base frame with a
+    per-frame brightness drift and a moving bright square (so frame
+    phashes differ and motion statistics are non-trivial)."""
+    base = synth_pixels("vf:" + video_id, min_side=32, max_side=48)
+    seed = url_hash64("vi:" + video_id) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(min_frames, max_frames + 1))
+    h, w = base.shape
+    frames = np.empty((n, h, w), dtype="uint8")
+    for i in range(n):
+        f = base.astype("int64") + 4 * i
+        y = (5 * i) % max(h - 8, 1)
+        x = (7 * i) % max(w - 8, 1)
+        f[y:y + 8, x:x + 8] += 64
+        frames[i] = np.clip(f, 0, 255).astype("uint8")
+    return frames

@@ -55,7 +55,10 @@ def pop(
 
     `host_budget` is (host_hash, budget int) — the politeness allowance
     computed by operators.politeness.remaining_budget; it is small (one
-    row per host) and broadcast.
+    row per host) and broadcast. At extreme host cardinality (10^8 hosts
+    ~ GBs) drop the explicit broadcast hint and let AQE choose: the ready
+    slice is already shuffled by host_hash for the window, so a shuffled
+    hash join adds no extra exchange on the big side.
     """
     r = ready(frontier, as_of_ts)
     w = Window.partitionBy("host_hash").orderBy(

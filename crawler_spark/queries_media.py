@@ -393,3 +393,186 @@ def q_image_thumbnail_stats(spark, sf_dir):
             yield pd.DataFrame(rows)
 
     return corpus.mapInPandas(_thumb, _THUMB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate join (the IMAGE dedup path, oracle-checked)
+# ---------------------------------------------------------------------------
+
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = 15
+_PHASH_HAMMING_MAX = 4
+
+_PHASH_NEARDUP_SQL = f"""
+    WITH ph AS (
+      SELECT doc_id,
+             xor(('0x'||substr(md5((doc_id // 3)::VARCHAR),1,15))::BIGINT,
+                 CASE doc_id % 3 WHEN 0 THEN 0
+                                 WHEN 1 THEN (1::BIGINT << 7)
+                                 ELSE (1::BIGINT << 13) | (1::BIGINT << 42) END) AS phash
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, phash, i AS band_no,
+             (phash >> ({_PHASH_BAND_BITS} * i)) & {(1 << _PHASH_BAND_BITS) - 1} AS band_val
+      FROM ph, LATERAL (SELECT unnest(range(0, {_PHASH_BANDS})) AS i) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.phash AS pa, b.phash AS pb
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(pa, pb)::BIT)::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)::BIT) <= {_PHASH_HAMMING_MAX}
+"""
+
+
+@register("image_phash_neardup", _PHASH_NEARDUP_SQL)
+def q_image_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicate IMAGE pairs: band the 60-bit phash
+    into 4 x 15-bit keys, equi-join on (band_no, band_val) — any pair
+    within Hamming distance < bands is guaranteed to share a band
+    (pigeonhole), so banding is a LOSSLESS candidate filter up to 3 bit
+    flips — then exact bit_count(xor) rescore. This is how the corpus's
+    phash column (input_hint; computed by the fused decode in
+    normalize.to_corpus) deduplicates re-encoded/resized images at scale:
+    band_val is the shuffle key, candidates are per-bucket, never
+    all-pairs. The phash values here are synthesized deterministically
+    from doc_id (groups of 3 ids share a base hash with <=3 flipped
+    bits) because the driver's testdata has no image bytes; the
+    production path feeds corpus.phash into the same banding."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = F.conv(
+        F.substring(F.md5(F.floor(F.col("doc_id") / 3).cast("long").cast("string")), 1, 15),
+        16, 10,
+    ).cast("long")
+    flip = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0).cast("long"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(1 << 7).cast("long"))
+        .otherwise(F.lit((1 << 13) | (1 << 42)).cast("long"))
+    )
+    ph = docs.select("doc_id", base.bitwiseXOR(flip).alias("phash"))
+    band_mask = (1 << _PHASH_BAND_BITS) - 1
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.array(*[F.lit(i) for i in range(_PHASH_BANDS)])).alias("band_no"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(phash >> ({_PHASH_BAND_BITS} * band_no)) & {band_mask}"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"),
+                     "band_no", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"),
+                     "band_no", "band_val")
+    cand = (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.filter(hamming <= _PHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal audio/video pipelines (rows-only; codecs not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+_AUDIO_SCHEMA = StructType([
+    StructField("audio_id", StringType(), False),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms_dbfs", DoubleType()),
+    StructField("zcr", DoubleType()),
+    StructField("peak", IntegerType()),
+])
+
+
+@register("audio_decode_features", None)
+def q_audio_decode_features(spark, sf_dir):
+    """Audio decode + feature-extract in one Arrow-batched pass: opaque
+    CSAU binary payloads (deterministic stand-in — kernels.decode_audio
+    raises NotImplementedError on real MP3/WAV, same stub contract as the
+    image codec) -> duration / RMS-dBFS / zero-crossing-rate / peak.
+    Generate-decode fused in a single mapInPandas stage so payload bytes
+    never cross a shuffle; explicit repartition fan-out because the stage
+    is CPU-bound, not byte-bound (AQE would coalesce it)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = spark.sparkContext.defaultParallelism
+
+    def _gen_dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                audio_id = f"au-{int(doc_id)}"
+                payload = kernels.encode_audio(kernels.synth_audio(audio_id))
+                samples, rate = kernels.decode_audio(payload)
+                feats = kernels.audio_features(samples, rate)
+                rows.append({
+                    "audio_id": audio_id,
+                    "sample_rate": rate,
+                    "duration_s": feats["duration_s"],
+                    "rms_dbfs": feats["rms_dbfs"],
+                    "zcr": feats["zcr"],
+                    "peak": feats["peak"],
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.repartition(n).mapInPandas(_gen_dec, _AUDIO_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType([
+    StructField("video_id", StringType(), False),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_no", IntegerType()),
+    StructField("frame_phash", LongType()),
+    StructField("motion", DoubleType()),
+])
+
+
+@register("video_frame_sample", None)
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame-sampling: CSVI frame-stack payloads (deterministic
+    stand-in; real MP4/WebM raises NotImplementedError) -> every-3rd +
+    last frame, per-frame phash + mean-abs-diff motion vs the previous
+    sampled frame. One row per SAMPLED frame (the explode happens inside
+    the Arrow batch — whole videos never ship to the driver, frames
+    never cross a shuffle). At scale the stack is the unit of
+    parallelism: one video per row, fan-out by repartition."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = spark.sparkContext.defaultParallelism
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                video_id = f"vid-{int(doc_id)}"
+                payload = kernels.encode_video(kernels.synth_video(video_id))
+                frames = kernels.decode_video(payload)
+                prev = None
+                for fi in kernels.sample_frames(frames, every_k=3):
+                    fr = frames[fi]
+                    motion = (
+                        0.0 if prev is None
+                        else float(np.mean(np.abs(fr.astype("float64") - prev)))
+                    )
+                    rows.append({
+                        "video_id": video_id,
+                        "n_frames": int(frames.shape[0]),
+                        "frame_no": int(fi),
+                        "frame_phash": np.int64(kernels.phash64(fr)),
+                        "motion": motion,
+                    })
+                    prev = fr.astype("float64")
+            yield pd.DataFrame(rows)
+
+    return docs.repartition(n).mapInPandas(_sample, _FRAME_SCHEMA)

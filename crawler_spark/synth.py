@@ -113,23 +113,39 @@ def page_for_url(url: str, universe: int = 10_000, with_payload: bool = True) ->
     }
 
 
+_MASK64 = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — a cheap deterministic stream for per-item
+    values (building a full numpy Generator per URL was ~20% of the fetch
+    stage's CPU; the feed needs variety, not statistical quality)."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return x ^ (x >> 31)
+
+
 def feed_items_for_url(url: str) -> list[dict]:
     """Deterministic per-URL item list (the reference's per-channel video
-    feed, src/scraper/video_scraper.rs) — SEPARATE PRNG stream from
-    page_for_url so adding the feed never perturbs existing page draws
-    (pop-order/corpus parity depends on those)."""
-    r = _rng("feed:" + url)
+    feed, src/scraper/video_scraper.rs) — derived from the url hash via
+    integer mixing, INDEPENDENT of page_for_url's PRNG stream so the feed
+    never perturbs existing page draws (pop-order/corpus parity depends
+    on those)."""
     uh = kernels.url_hash64(url)
-    n = int(r.integers(0, 6))
-    return [
-        {
+    n = _mix64(uh) % 6
+    nv = len(_VOCAB)
+    items = []
+    for i in range(n):
+        m = _mix64(uh * 6 + i + 1)
+        title = " ".join(_VOCAB[(m >> s) % nv] for s in (0, 13, 26))
+        items.append({
             "item_id": f"it-{uh & 0xFFFFF:05x}-{i}",
-            "title": " ".join(r.choice(_VOCAB, size=3)),
-            "published_epoch": int(1_500_000_000 + r.integers(0, 250_000_000)),
-            "views": int(r.integers(0, 50_000)),
-        }
-        for i in range(n)
-    ]
+            "title": title,
+            "published_epoch": 1_500_000_000 + (m >> 12) % 250_000_000,
+            "views": (m >> 40) % 50_000,
+        })
+    return items
 
 
 def feed_xml_for_url(url: str) -> str:

@@ -274,3 +274,48 @@ def test_feed_xml_roundtrip_synth():
             }
         checked += len(items)
     assert checked > 20
+
+
+# --- audio codec / features -------------------------------------------------
+
+def test_audio_roundtrip_and_features():
+    s = K.synth_audio("http://a.example.com/1")
+    out, rate = K.decode_audio(K.encode_audio(s))
+    assert rate == 16_000
+    assert np.array_equal(s, out)
+    f = K.audio_features(out, rate)
+    assert 0.2 <= f["duration_s"] <= 1.0
+    assert -120.0 < f["rms_dbfs"] < 0.0
+    assert 0.0 < f["zcr"] < 1.0
+    assert 0 < f["peak"] <= 32767
+    # deterministic: same id -> same clip
+    assert np.array_equal(s, K.synth_audio("http://a.example.com/1"))
+
+
+def test_audio_unknown_magic_raises():
+    with pytest.raises(NotImplementedError):
+        K.decode_audio(b"RIFF" + b"\x00" * 64)
+
+
+def test_audio_empty_features():
+    f = K.audio_features(np.array([], dtype="int16"), 16_000)
+    assert f == {"duration_s": 0.0, "rms_dbfs": -120.0, "zcr": 0.0, "peak": 0}
+
+
+# --- video codec / frame sampling -------------------------------------------
+
+def test_video_roundtrip_and_sampling():
+    v = K.synth_video("http://v.example.com/1")
+    out = K.decode_video(K.encode_video(v))
+    assert np.array_equal(v, out)
+    idx = K.sample_frames(out, every_k=3)
+    assert idx[0] == 0 and idx[-1] == out.shape[0] - 1
+    assert idx == sorted(set(idx))
+    # frames differ (moving square + drift) so per-frame phashes do too
+    if out.shape[0] >= 4:
+        assert K.phash64(out[0]) != K.phash64(out[3])
+
+
+def test_video_unknown_magic_raises():
+    with pytest.raises(NotImplementedError):
+        K.decode_video(b"ftypmp42" + b"\x00" * 64)

@@ -61,3 +61,19 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) >= 2
+
+
+NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only_queries_run(name, spark):
+    """Registry entries without a SQL oracle (codec stages — decode is
+    not SQL-expressible) still get the driver's rows-only check; mirror
+    it: runs, >0 rows, fully non-null key column, stable schema."""
+    df = QUERIES[name](spark, SF_SMALL)
+    pdf = df.toPandas()
+    assert len(pdf) > 0, f"{name}: empty rows-only query"
+    key = df.schema.fields[0].name
+    assert pdf[key].notna().all()
+    assert not df.schema.fields[0].nullable
