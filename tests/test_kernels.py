@@ -319,3 +319,42 @@ def test_video_roundtrip_and_sampling():
 def test_video_unknown_magic_raises():
     with pytest.raises(NotImplementedError):
         K.decode_video(b"ftypmp42" + b"\x00" * 64)
+
+
+# --- codec property tests (hypothesis) --------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+def test_image_codec_roundtrip_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w)).astype("uint8")
+    assert np.array_equal(K.decode_image(K.encode_image(px, "png")), px)
+    lossy = K.decode_image(K.encode_image(px, "jpeg"))
+    assert lossy.shape == px.shape
+    assert int(np.abs(lossy.astype("int64") - px.astype("int64")).max()) <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2000), st.sampled_from([8000, 16000, 44100]))
+def test_audio_codec_roundtrip_property(n, rate):
+    rng = np.random.default_rng(n * 31 + rate)
+    s = rng.integers(-32768, 32768, size=n).astype("int16")
+    out, r = K.decode_audio(K.encode_audio(s, rate))
+    assert r == rate and np.array_equal(out, s)
+    f = K.audio_features(out, r)
+    assert f["duration_s"] == pytest.approx(n / rate)
+    assert 0 <= f["peak"] <= 32768
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 10), st.integers(1, 24), st.integers(1, 24), st.integers(1, 6))
+def test_video_codec_and_sampling_property(n, h, w, k):
+    rng = np.random.default_rng(n * 1009 + h * 31 + w * 7 + k)
+    v = rng.integers(0, 256, size=(n, h, w)).astype("uint8")
+    assert np.array_equal(K.decode_video(K.encode_video(v)), v)
+    idx = K.sample_frames(v, every_k=k)
+    assert idx[0] == 0 and idx[-1] == n - 1
+    assert all(0 <= i < n for i in idx) and idx == sorted(set(idx))

@@ -149,3 +149,18 @@ def test_xml_feed_parse_strip_is_catalyst_side():
     p = plan_str(QUERIES["xml_feed_parse"](_spark(), SF_SMALL), mode="extended")
     assert "regexp_replace" in p
     assert "EvalPython" in p  # the xml->struct UDF, by design
+
+
+def test_image_phash_neardup_is_bucketed_equi_join():
+    """The phash banding join must stay a shuffled/broadcast EQUI-join on
+    (band_no, band_val) — a BNLJ here means the candidate filter
+    collapsed to all-pairs, which is exactly what banding exists to
+    avoid at corpus scale."""
+    p = plan_str(QUERIES["image_phash_neardup"](_spark(), SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_image_phash_neardup_jvm_only():
+    p = plan_str(QUERIES["image_phash_neardup"](_spark(), SF_SMALL), mode="extended")
+    assert "EvalPython" not in p
