@@ -186,3 +186,56 @@ def q_sample_stratified(spark, sf_dir):
     )
     rate = F.when(F.col("lang") == "en", F.lit(80)).otherwise(F.lit(30))
     return d.filter(h < rate).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-corpus selection (dedup -> quality gate -> mix sample)
+# ---------------------------------------------------------------------------
+
+_QUALITY_MIN = 0.35
+
+from crawler_spark.queries_ml import _QUALITY_SQL
+
+_SELECT_SQL = f"""
+    WITH canon AS ({_CANONICAL_SQL}),
+    qual AS ({_QUALITY_SQL})
+    SELECT c.canonical_doc_id AS doc_id, d.lang, q.quality, c.n_members
+    FROM canon c
+    JOIN qual q ON q.doc_id = c.canonical_doc_id
+    JOIN documents d ON d.doc_id = c.canonical_doc_id
+    WHERE q.quality >= {_QUALITY_MIN}
+      AND ('0x'||substr(md5(c.canonical_doc_id::VARCHAR),1,15))::BIGINT % 100 <
+          CASE WHEN d.lang = 'en' THEN 80 ELSE 30 END
+"""
+
+
+@register("training_corpus_select", _SELECT_SQL)
+def q_training_corpus_select(spark, sf_dir):
+    """The composed end-to-end selection a training-data pipeline runs
+    before tokenization: near-dup clusters -> one canonical doc per
+    cluster -> quality gate (composite >= 0.35) -> deterministic
+    hash-stratified mix sample (80% en / 30% rest). Every stage is the
+    already-oracle-checked operator; this registers the COMPOSITION so
+    the stages are proven to agree on one plan (joins on doc_id are
+    co-partitioned; the sample is a post-join filter, no extra
+    shuffle)."""
+    from crawler_spark.queries_ml import q_text_quality_score
+
+    canon = q_dedup_canonical_docs(spark, sf_dir).select(
+        F.col("canonical_doc_id").alias("doc_id"), "n_members"
+    )
+    quality = q_text_quality_score(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(80)).otherwise(F.lit(30))
+    return (
+        canon.join(quality, "doc_id")
+        .join(docs, "doc_id")
+        .filter(F.col("quality") >= _QUALITY_MIN)
+        .filter(h < rate)
+        .select("doc_id", "lang", "quality", "n_members")
+    )

@@ -122,20 +122,26 @@ def q_pivot_event_counts(spark, sf_dir):
     """
     SELECT event_id, user_id,
            round(1e-9 + sum(value) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
            ), 4) AS rolling_1d
     FROM events
     """,
 )
 def q_rolling_window_sum(spark, sf_dir):
     """Time-range rolling aggregate: per-user 1-day trailing sum via a
-    RANGE frame over epoch seconds — the metrics-smoothing shape for the
-    daily-snapshot tables (SURVEY §2.4 A5 extension)."""
+    RANGE frame over epoch MICROSECONDS — integer on both engines (the
+    NTZ->timestamp cast is exact: session tz is pinned UTC).
+    (unix_timestamp/epoch() disagree on sub-second timestamps: Spark
+    truncates to whole seconds, DuckDB keeps the fraction, so a row
+    exactly at the 1-day boundary lands inside one engine's frame and
+    outside the other's — surfaced by the sf0.1 sweep.) The
+    metrics-smoothing shape for the daily-snapshot tables (SURVEY §2.4
+    A5 extension)."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-86400, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-86_400_000_000, 0)
     )
     return _t(spark, sf_dir, "events").select(
         "event_id",
