@@ -13,11 +13,16 @@ Jobs (the two throughput axes of the BASELINE.json metric):
     stage (payload bytes never shuffled); embarrassingly parallel.
   * frontier_pop — M-row synthetic frontier -> ready filter -> per-host
     window rank -> politeness cap; shuffle-bound.
+  * minhash_dedup — D synthetic documents -> 3-word shingles -> 8-lane
+    array-land minhash signature -> LSH band self-join (the training-data
+    dedup axis); expression-heavy with one narrow shuffle.
 
 Isolation: every (job, cores) pair runs in its OWN subprocess/JVM
 (shuffle files, GC state and page cache of one job can't leak into the
-other's timing), timed best-of-REPEATS after a warmup, MEDIAN over PASSES alternating-
-order full passes (shared-host noise defuse). Shuffle partition COUNT
+other's timing), timed best-of-REPEATS after a warmup. Both core levels
+of one job run BACK-TO-BACK within a pass and efficiency is computed
+per pass — slowly-drifting co-tenant load cancels in the ratio — with
+the median-efficiency pass of PASSES reported. Shuffle partition COUNT
 is pinned (64) at both levels, like a real cluster job: fixed
 partitioning, varying executor count.
 
@@ -48,6 +53,7 @@ K_URLS = 72_000
 # (stage scheduling for 64 tasks x 3 stages, noop commit barrier) are <5%
 # of the measurement — at 8M they were ~10% and read as fake inefficiency
 M_FRONTIER = 24_000_000
+D_DOCS = 64_000  # ~50-word docs; ~13 s at 8 cores (overhead <5%)
 CORES = (2, 8)
 REPEATS = 3   # best-of within one JVM
 PASSES = 3    # full passes; per-cell median across passes (shared host)
@@ -135,7 +141,84 @@ def _job_pop(cores: int) -> dict:
             "per_sec": round(M_FRONTIER / best, 1)}
 
 
-JOBS = {"fetch": _job_fetch, "pop": _job_pop}
+def _job_minhash(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from crawler_spark.queries_ml import (
+        _LSH_BANDS, _MASK60, _MINHASH_LANES, _shingles,
+    )
+
+    spark = _session(cores)
+    # synthetic ~50-word docs from a 500-token vocab, generated JVM-side
+    # (generation scales with the same parallelism as the measured work,
+    # like the fetch job's synthetic pages); fixed input splits as above
+    docs = spark.range(0, D_DOCS, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(50)),
+                lambda i: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(F.col("id") * 64 + i), F.lit(500))
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    hexes = F.transform(_shingles(F.col("text")), F.md5)
+    hs = F.transform(
+        hexes,
+        lambda x: F.struct(
+            F.conv(F.substring(x, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(x, 16, 15), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    d = docs.select("doc_id", hs.alias("hs"))
+    sig = d.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    "hs", lambda p: (p.h1 + F.lit(i) * p.h2).bitwiseAND(F.lit(_MASK60))
+                )
+            ).alias(f"h{i}")
+            for i in range(_MINHASH_LANES)
+        ],
+    )
+
+    def run():
+        # like the registry query: signatures are materialized ONCE
+        # (persist), then the 4 band views + both join sides read the
+        # cache — without it the whole md5/conv tree re-evaluates 8x
+        sig.unpersist(blocking=True)
+        sig.persist()
+        _noop(sig)  # timed: the signature computation itself
+        bands = None
+        for b in range(_LSH_BANDS):
+            one = sig.select(
+                "doc_id", F.lit(b).alias("band"),
+                F.col(f"h{2 * b}").alias("k1"), F.col(f"h{2 * b + 1}").alias("k2"),
+            )
+            bands = one if bands is None else bands.unionByName(one)
+        a = bands.select(F.col("doc_id").alias("doc_a"), "band", "k1", "k2")
+        b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "k1", "k2")
+        _noop(
+            a.join(b2, ["band", "k1", "k2"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct()
+        )
+
+    run()  # warmup
+    best = None
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {"cores": cores, "secs": round(best, 3),
+            "per_sec": round(D_DOCS / best, 1)}
+
+
+JOBS = {"fetch": _job_fetch, "pop": _job_pop, "minhash": _job_minhash}
 
 
 def main() -> None:
@@ -163,37 +246,45 @@ def main() -> None:
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")][-1]
         return json.loads(line[len("RESULT "):])
 
-    # the sandbox is a SHARED host: one pass is a measurement lottery
-    # (cells anti-correlate with background load). Run PASSES full passes,
-    # alternating cell order so time-varying load doesn't bias one cell
-    # class, and take the per-cell MEDIAN of the (already best-of-REPEATS)
-    # timings.
-    samples: dict[str, dict[int, list[dict]]] = {j: {c: [] for c in CORES} for j in JOBS}
-    cells = [(j, c) for j in JOBS for c in CORES]
-    for p in range(PASSES):
-        order = cells if p % 2 == 0 else list(reversed(cells))
-        for job, cores in order:
-            samples[job][cores].append(_run_cell(job, cores))
-
-    def _median(cell_samples: list[dict]) -> dict:
-        by_secs = sorted(cell_samples, key=lambda r: r["secs"])
-        return by_secs[len(by_secs) // 2]
-
-    results = {j: {c: _median(samples[j][c]) for c in CORES} for j in JOBS}
-
+    # the sandbox is a SHARED host: one pass is a measurement lottery.
+    # Co-tenant load drifts on a minutes scale, so the two core levels of
+    # one job are run BACK-TO-BACK within a pass and the efficiency is
+    # computed PER PASS (ratio of temporally-adjacent cells — slow drift
+    # cancels in the ratio), then the MEDIAN-efficiency pass is reported
+    # per job. Median-of-ratios is robust where ratio-of-medians can pair
+    # a loaded 2-core sample with an unloaded 8-core one and fake a
+    # regression (or a superlinear speedup).
     n, n4 = CORES
     ratio = n4 / n
-    eff = {
-        j: round((results[j][n]["secs"] / results[j][n4]["secs"]) / ratio, 3)
-        for j in JOBS
-    }
+    passes: dict[str, list[dict[int, dict]]] = {j: [] for j in JOBS}
+    jobs_order = list(JOBS)
+    for p in range(PASSES):
+        order = jobs_order if p % 2 == 0 else list(reversed(jobs_order))
+        for job in order:
+            passes[job].append({c: _run_cell(job, c) for c in CORES})
+
+    def _pass_eff(pair: dict[int, dict]) -> float:
+        return (pair[n]["secs"] / pair[n4]["secs"]) / ratio
+
+    results = {}
+    eff = {}
+    eff_passes = {}
+    for j in JOBS:
+        by_eff = sorted(passes[j], key=_pass_eff)
+        rep = by_eff[len(by_eff) // 2]  # median-efficiency pass
+        results[j] = rep
+        eff[j] = round(_pass_eff(rep), 3)
+        eff_passes[j] = [round(_pass_eff(p), 3) for p in passes[j]]
     summary = {
         "metric": "scaling_efficiency_Nto4N",
         "cores": list(CORES),
         "fetch_urls_per_sec": {str(c): results["fetch"][c]["per_sec"] for c in CORES},
         "pop_rows_per_sec": {str(c): results["pop"][c]["per_sec"] for c in CORES},
+        "minhash_docs_per_sec": {str(c): results["minhash"][c]["per_sec"] for c in CORES},
         "efficiency_fetch": eff["fetch"],
         "efficiency_pop": eff["pop"],
+        "efficiency_minhash": eff["minhash"],
+        "efficiency_passes": eff_passes,
         "detail": results,
     }
     print(json.dumps(summary))
@@ -216,8 +307,10 @@ def main() -> None:
             "asks for scaling efficiency >= 0.8). Each (job, level) runs in\n"
             "an isolated JVM pinned with `taskset` to exactly N CPUs (so GC /\n"
             "shuffle-IO / python workers can't borrow idle cores and inflate\n"
-            "the low-N baseline), warmup + best-of-4 within a JVM, per-cell\n"
-            "MEDIAN over 3 alternating-order full passes (shared-host noise),\n"
+            "the low-N baseline), warmup + best-of-3 within a JVM; both core\n"
+            "levels of a job run BACK-TO-BACK and efficiency is computed per\n"
+            "pass (slow co-tenant drift cancels in the ratio), median-\n"
+            "efficiency pass of 3 reported (shared-host noise defuse);\n"
             "shuffle partitions AND input splits pinned at 64 for both levels\n"
             "(fixed partitioning/splits, varying executor count — like a real\n"
             "cluster job).\n\n"
@@ -231,7 +324,10 @@ def main() -> None:
             "measurement reflects the engine, not the sandbox's memory bus.\n\n"
             f"Jobs: fetch+decode of {K_URLS:,} image URLs (vectorized UDF hot\n"
             f"path, payload bytes never shuffled); frontier pop over\n"
-            f"{M_FRONTIER:,} rows (ready filter -> per-host window rank).\n\n"
+            f"{M_FRONTIER:,} rows (ready filter -> per-host window rank);\n"
+            f"minhash+LSH dedup over {D_DOCS:,} synthetic ~50-word docs\n"
+            "(array-land signatures -> band self-join — the training-data\n"
+            "dedup axis).\n\n"
             f"| job | local[{n}] | local[{n4}] | speedup | efficiency (target >= 0.8) |\n"
             "|---|---|---|---|---|\n"
             f"| fetch+decode (URLs/s) | {results['fetch'][n]['per_sec']:,} | "
@@ -239,7 +335,10 @@ def main() -> None:
             f"{results['fetch'][n]['secs'] / results['fetch'][n4]['secs']:.2f}x | {eff['fetch']:.3f} |\n"
             f"| frontier pop (rows/s) | {results['pop'][n]['per_sec']:,} | "
             f"{results['pop'][n4]['per_sec']:,} | "
-            f"{results['pop'][n]['secs'] / results['pop'][n4]['secs']:.2f}x | {eff['pop']:.3f} |\n\n"
+            f"{results['pop'][n]['secs'] / results['pop'][n4]['secs']:.2f}x | {eff['pop']:.3f} |\n"
+            f"| minhash dedup (docs/s) | {results['minhash'][n]['per_sec']:,} | "
+            f"{results['minhash'][n4]['per_sec']:,} | "
+            f"{results['minhash'][n]['secs'] / results['minhash'][n4]['secs']:.2f}x | {eff['minhash']:.3f} |\n\n"
             f"Raw: `{json.dumps(results)}`\n"
         )
         f.write(preserved)
