@@ -465,6 +465,39 @@ def q_parse_cast_json(spark, sf_dir):
 
 
 @register(
+    "json_props_parse",
+    """
+    SELECT k_bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+    FROM (
+      SELECT (props::JSON ->> 'k')::BIGINT AS k,
+             ((props::JSON ->> 'k')::BIGINT) % 10 AS k_bucket
+      FROM events
+    ) GROUP BY k_bucket
+    """,
+)
+def q_json_props_parse(spark, sf_dir):
+    """S9/§2.10-3 JSON payload parse, TYPED: from_json into a struct
+    schema (JsonToStructs, JVM-side — no regex, no Python), then
+    aggregate over the extracted field. The typed twin of
+    parse_cast_json's regex form — this is the path a JSON API source
+    (ref youtube_service.rs response structs) takes: payload string ->
+    typed columns -> downstream relational ops, with parse errors
+    surfacing as NULLs (PERMISSIVE mode) instead of failed tasks."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "k", F.from_json("props", "k BIGINT").getField("k")
+    )
+    return (
+        df.withColumn("k_bucket", F.col("k") % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "keyword_tokenize",
     r"""
     SELECT doc_id,
