@@ -118,6 +118,7 @@ _JVM_ONLY = [
     "dedup_jaccard_pairs", "dedup_simhash", "text_token_stats",
     "text_quality_score", "text_lang_id", "keyword_tokenize",
     "salted_heavy_hitters", "video_refresh_policy", "staleness_buckets",
+    "json_props_parse", "training_corpus_select", "image_phash_neardup",
 ]
 
 
