@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from crawler_spark.queries import REGISTRY
 import crawler_spark.queries_graph  # noqa: F401  (populates REGISTRY)
+import crawler_spark.queries_index  # noqa: F401  (populates REGISTRY)
 import crawler_spark.queries_ml  # noqa: F401  (populates REGISTRY)
 import crawler_spark.queries_media  # noqa: F401  (populates REGISTRY)
 import crawler_spark.queries_scale  # noqa: F401  (populates REGISTRY)

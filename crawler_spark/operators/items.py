@@ -38,13 +38,20 @@ def refresh_upserts(
 ) -> DataFrame:
     """Feed entries that must be (re)written: NEW (no existing row) OR
     stale — as_of - updated_ts >= threshold(as_of - published_ts).
-    `existing` need only cover the feed's url_hash buckets (the store's
-    read_buckets gives exactly that); it is batch-scale and broadcast.
+    `existing` covers the feed's url_hash BUCKETS (read_buckets) — which
+    is bucket-scale, not batch-scale: with few buckets a batch dirties
+    most of them, so `existing` can approach the whole items table. A
+    semi-join against the batch's url_hashes shrinks it to the pages
+    actually in this batch BEFORE the item-level join; the pruned side is
+    then genuinely batch-scale and AQE picks the broadcast on its
+    RUNTIME size (no explicit hint that would OOM at 10^8+ items).
     Returns ITEMS-shaped rows with updated_ts = as_of."""
-    ex = existing.select(
-        "url_hash", "item_id", F.col("updated_ts").alias("__ex_updated")
+    batch_pages = feed_items.select("url_hash").distinct()
+    ex = (
+        existing.join(batch_pages, "url_hash", "left_semi")
+        .select("url_hash", "item_id", F.col("updated_ts").alias("__ex_updated"))
     )
-    j = feed_items.join(F.broadcast(ex), ["url_hash", "item_id"], "left")
+    j = feed_items.join(ex, ["url_hash", "item_id"], "left")
     age = F.lit(as_of_epoch) - F.unix_timestamp("published_ts")
     since = F.lit(as_of_epoch) - F.unix_timestamp("__ex_updated")
     keep = F.col("__ex_updated").isNull() | (since >= staleness_threshold_expr(age))

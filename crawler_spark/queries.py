@@ -31,6 +31,42 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# -- cache hygiene ----------------------------------------------------------
+# Registry queries may persist intermediates (a DataFrame feeding two plan
+# branches). A 60-query sweep must not accumulate cached blocks, so every
+# such persist is TRACKED and released by cleanup_caches() — which sweeps,
+# tests and benches call when they are done with the returned DataFrames.
+
+_TRACKED: list[DataFrame] = []
+_CLEANUP_HOOKS: list[Callable[[], None]] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() a query intermediate and register it for cleanup_caches()."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def add_cleanup_hook(fn: Callable[[], None]) -> None:
+    """Register extra cache-release work (e.g. memo dicts holding persisted
+    results) to run inside cleanup_caches()."""
+    _CLEANUP_HOOKS.append(fn)
+
+
+def cleanup_caches() -> None:
+    """Unpersist every tracked intermediate and clear registered memos.
+    After this, a sweep's SparkContext should hold zero cached RDDs."""
+    for hook in _CLEANUP_HOOKS:
+        hook()
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -1,0 +1,97 @@
+"""Index-backed similarity queries (the 100 TB serving path).
+
+Same semantics as the recompute queries in queries_ml / queries_media —
+each one's DuckDB oracle IS the full-recompute SQL, so a green row
+proves probe-over-index == recompute-over-raw-data — but the Spark side
+probes the PERSISTED SimilarityIndex (operators/vindex.py):
+
+  * knn_ann_indexed_topk  — reads ONLY the query's sign-LSH bucket
+    partition (file-level pruning; asserted in tests/test_plans.py);
+  * knn_ivf_indexed_topk  — reads ONLY the query's IVF cell partition;
+  * dedup_minhash_indexed — band-joins the persisted 8-lane signatures
+    (8 longs/doc) instead of re-shingling raw text.
+
+The driver-side collect in the ANN probes is ONE row (the query vector)
+— a point lookup, not an unbounded collect."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.vindex import index_for
+from crawler_spark.queries import _t, register
+from crawler_spark.queries_media import _ANN_TOPK_SQL, _IVF_SQL, _bucket_col
+from crawler_spark.queries_ml import (
+    _LSH_BUCKET_CAP,
+    _MINHASH_SQL,
+    bands_from_sig_table,
+    lsh_band_pairs,
+)
+
+
+def _dsum(arr):
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine_vs_literal(qv: list[float]):
+    """cosine(embedding, qv) with the query vector inlined as a literal —
+    JVM-side zip_with/aggregate, identical rounding to the oracle."""
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    dot = _dsum(F.zip_with("embedding", qarr, lambda a, b: a.cast("double") * b))
+    ne = F.sqrt(_dsum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
+    nq = F.sqrt(_dsum(F.transform(qarr, lambda x: x * x)))
+    return F.round(dot / (ne * nq) + F.lit(1e-9), 4)
+
+
+def _query_vec(spark, sf_dir, with_cell: bool):
+    """The query point (vec_id=0): one-row collect with its bucket/cell
+    computed by the same shared expressions the index build used."""
+    from crawler_spark.operators.vindex import emb_ivf_rows
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    if with_cell:
+        row = emb_ivf_rows(emb).select("embedding", "cell").collect()[0]
+        return list(row["embedding"]), int(row["cell"])
+    row = emb.select("embedding", _bucket_col().alias("bucket")).collect()[0]
+    return list(row["embedding"]), int(row["bucket"])
+
+
+@register("knn_ann_indexed_topk", _ANN_TOPK_SQL)
+def q_knn_ann_indexed_topk(spark, sf_dir):
+    """ANN top-k over the PERSISTED sign-LSH index: resolve the query's
+    bucket (1-row job), read only that bucket's partition files, exact
+    cosine rescore + top-k inside it. Same oracle as knn_ann_lsh_topk —
+    the index probe must reproduce the full recompute bit-for-bit. At
+    100 TB this scans 1/2^bits of the corpus from disk; the recompute
+    form scans (and re-projects) all of it."""
+    qv, qb = _query_vec(spark, sf_dir, with_cell=False)
+    probe = index_for(spark, sf_dir).lsh_partition(qb)
+    return (
+        probe.filter(F.col("vec_id") != 0)
+        .select("vec_id", _cosine_vs_literal(qv).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+@register("knn_ivf_indexed_topk", _IVF_SQL)
+def q_knn_ivf_indexed_topk(spark, sf_dir):
+    """ANN top-k over the PERSISTED IVF index: probe the query's cell
+    partition only; exact cosine rescore. Same oracle as knn_ivf_topk."""
+    qv, qc = _query_vec(spark, sf_dir, with_cell=True)
+    probe = index_for(spark, sf_dir).ivf_partition(qc)
+    return (
+        probe.filter(F.col("vec_id") != 0)
+        .select("vec_id", _cosine_vs_literal(qv).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+@register("dedup_minhash_indexed", _MINHASH_SQL)
+def q_dedup_minhash_indexed(spark, sf_dir):
+    """MinHash+LSH candidates from the PERSISTED signature table: band
+    keys come from 8 stored longs per doc — no shingling, no text scan.
+    Same oracle (and hot-bucket cap) as dedup_minhash_lsh."""
+    sigs = index_for(spark, sf_dir).minhash_sigs()
+    return lsh_band_pairs(bands_from_sig_table(sigs), _LSH_BUCKET_CAP)

@@ -399,17 +399,24 @@ def q_image_thumbnail_stats(spark, sf_dir):
 # perceptual-hash near-duplicate join (the IMAGE dedup path, oracle-checked)
 # ---------------------------------------------------------------------------
 
-_PHASH_BANDS = 4
-_PHASH_BAND_BITS = 15
+# 60-bit phash, 5 bands x 12 bits: pigeonhole guarantees any pair within
+# Hamming distance <= bands-1 = 4 shares at least one unmodified band, so
+# banding is a LOSSLESS candidate filter for the rescore threshold below
+# (bands must exceed the threshold — 4x15 only covered <= 3 and silently
+# missed distance-4 pairs with one flipped bit per band).
+_PHASH_BANDS = 5
+_PHASH_BAND_BITS = 12
 _PHASH_HAMMING_MAX = 4
 
 _PHASH_NEARDUP_SQL = f"""
     WITH ph AS (
       SELECT doc_id,
-             xor(('0x'||substr(md5((doc_id // 3)::VARCHAR),1,15))::BIGINT,
-                 CASE doc_id % 3 WHEN 0 THEN 0
+             xor(('0x'||substr(md5((doc_id // 4)::VARCHAR),1,15))::BIGINT,
+                 CASE doc_id % 4 WHEN 0 THEN 0
                                  WHEN 1 THEN (1::BIGINT << 7)
-                                 ELSE (1::BIGINT << 13) | (1::BIGINT << 42) END) AS phash
+                                 WHEN 2 THEN (1::BIGINT << 13) | (1::BIGINT << 42)
+                                 ELSE (1::BIGINT << 3) | (1::BIGINT << 21)
+                                      | (1::BIGINT << 57) END) AS phash
       FROM documents
     ),
     bands AS (
@@ -431,26 +438,29 @@ _PHASH_NEARDUP_SQL = f"""
 @register("image_phash_neardup", _PHASH_NEARDUP_SQL)
 def q_image_phash_neardup(spark, sf_dir):
     """Perceptual-hash near-duplicate IMAGE pairs: band the 60-bit phash
-    into 4 x 15-bit keys, equi-join on (band_no, band_val) — any pair
+    into 5 x 12-bit keys, equi-join on (band_no, band_val) — any pair
     within Hamming distance < bands is guaranteed to share a band
-    (pigeonhole), so banding is a LOSSLESS candidate filter up to 3 bit
-    flips — then exact bit_count(xor) rescore. This is how the corpus's
-    phash column (input_hint; computed by the fused decode in
-    normalize.to_corpus) deduplicates re-encoded/resized images at scale:
-    band_val is the shuffle key, candidates are per-bucket, never
-    all-pairs. The phash values here are synthesized deterministically
-    from doc_id (groups of 3 ids share a base hash with <=3 flipped
-    bits) because the driver's testdata has no image bytes; the
-    production path feeds corpus.phash into the same banding."""
+    (pigeonhole), so banding is a LOSSLESS candidate filter up to the
+    rescore threshold of 4 bit flips — then exact bit_count(xor)
+    rescore. This is how the corpus's phash column (input_hint; computed
+    by the fused decode in normalize.to_corpus) deduplicates
+    re-encoded/resized images at scale: band_val is the shuffle key,
+    candidates are per-bucket, never all-pairs. The phash values here
+    are synthesized deterministically from doc_id (groups of 4 ids share
+    a base hash with 0/1/2/3 flipped bits — pairwise Hamming 1..5, so
+    the data exercises BOTH sides of the <=4 bound, including an
+    exactly-4 pair) because the driver's testdata has no image bytes;
+    the production path feeds corpus.phash into the same banding."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     base = F.conv(
-        F.substring(F.md5(F.floor(F.col("doc_id") / 3).cast("long").cast("string")), 1, 15),
+        F.substring(F.md5(F.floor(F.col("doc_id") / 4).cast("long").cast("string")), 1, 15),
         16, 10,
     ).cast("long")
     flip = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit(0).cast("long"))
-        .when(F.col("doc_id") % 3 == 1, F.lit(1 << 7).cast("long"))
-        .otherwise(F.lit((1 << 13) | (1 << 42)).cast("long"))
+        F.when(F.col("doc_id") % 4 == 0, F.lit(0).cast("long"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(1 << 7).cast("long"))
+        .when(F.col("doc_id") % 4 == 2, F.lit((1 << 13) | (1 << 42)).cast("long"))
+        .otherwise(F.lit((1 << 3) | (1 << 21) | (1 << 57)).cast("long"))
     )
     ph = docs.select("doc_id", base.bitwiseXOR(flip).alias("phash"))
     band_mask = (1 << _PHASH_BAND_BITS) - 1

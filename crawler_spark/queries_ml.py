@@ -21,7 +21,9 @@ import numpy as np
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from crawler_spark.queries import MD5H_SQL, _t, md5h, register
+from pyspark.sql import DataFrame
+
+from crawler_spark.queries import MD5H_SQL, _t, md5h, register, track_persist
 
 # ---------------------------------------------------------------------------
 # shared shingle builders (Spark + SQL sides must tokenize identically)
@@ -131,11 +133,10 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
         "doc_id",
         F.explode(F.transform(_shingles(F.col("text")), md5h)).alias("sh_h"),
     )
-    postings = (
+    postings = track_persist(  # feeds both sizes and pairs; released by cleanup_caches
         sh.groupBy("sh_h").agg(F.collect_set("doc_id").alias("docs"))
         .filter(F.size("docs") <= _STOP_SHINGLE_DF)
         .select(F.array_sort("docs").alias("docs"))
-        .persist()  # feeds both sizes and pairs
     )
     sizes = postings.select(F.explode("docs").alias("doc_id")).groupBy("doc_id").agg(
         F.count("*").alias("n")
@@ -184,6 +185,14 @@ _bands_sql = " UNION ALL ".join(
     )
     for b in range(_LSH_BANDS)
 )
+# hot-bucket cap: a band bucket of m docs yields all m*(m-1)/2 pairs only
+# while m <= cap; above it, STAR edges to the bucket-min doc (m-1 rows) —
+# the same skew defuse as _STOP_SHINGLE_DF and the star-edge clustering in
+# queries_graph. Web corpora degenerate exactly here (boilerplate/empty
+# pages share every band): without the cap the band self-join goes O(m^2)
+# on one hot bucket.
+_LSH_BUCKET_CAP = 20
+
 _MINHASH_SQL = """
     WITH sh AS (
       -- no DISTINCT: min() is idempotent to duplicate shingles
@@ -191,14 +200,61 @@ _MINHASH_SQL = """
       FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)
     ),
     sig AS (SELECT doc_id, {lanes} FROM sh GROUP BY doc_id),
-    bands AS ({bands})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+    bands AS ({bands}),
+    posts AS (
+      SELECT band, k1, k2, list_sort(list(DISTINCT doc_id)) AS docs
+      FROM bands GROUP BY band, k1, k2
+    ),
+    pairs AS (
+      SELECT a.x AS doc_a, b.y AS doc_b
+      FROM posts, UNNEST(docs) AS a(x), UNNEST(docs) AS b(y)
+      WHERE len(docs) BETWEEN 2 AND {cap} AND a.x < b.y
+      UNION ALL
+      SELECT docs[1] AS doc_a, u.y AS doc_b
+      FROM posts, UNNEST(docs[2:]) AS u(y)
+      WHERE len(docs) > {cap}
+    )
+    SELECT DISTINCT doc_a, doc_b FROM pairs
 """.format(
     h1=_H1_SQL, h2=_H2_SQL, shingles=_shingles_sql("text"),
-    lanes=_sig_lanes_sql, bands=_bands_sql,
+    lanes=_sig_lanes_sql, bands=_bands_sql, cap=_LSH_BUCKET_CAP,
 )
+
+
+def lsh_band_pairs(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """Candidate pairs from LSH band buckets with a HOT-BUCKET CAP.
+
+    bands: (doc_id, band, k1, k2). One groupBy on the band key builds a
+    posting list per bucket; pairs are generated ROW-LOCALLY inside the
+    posting (no self-join): buckets of size <= cap emit all ordered pairs
+    (<= cap^2 rows), larger buckets emit star edges to the bucket-min doc
+    (m-1 rows). Worst-case fan-out per bucket is max(cap^2, m) — a
+    duplicate-heavy corpus can no longer go quadratic on one bucket, and
+    the star edges still connect the bucket for downstream clustering."""
+    posts = (
+        bands.groupBy("band", "k1", "k2")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    all_pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice("docs", 2, F.size("docs")),
+        lambda y: F.struct(F.element_at("docs", 1).alias("doc_a"), y.alias("doc_b")),
+    )
+    pairs = F.when(F.size("docs") <= cap, all_pairs).otherwise(star)
+    return (
+        posts.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
 
 def md5h2(col):
@@ -206,62 +262,80 @@ def md5h2(col):
     return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
 
 
-@register("dedup_minhash_lsh", _MINHASH_SQL)
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: shingle → 8-lane minhash signature
-    (Kirsch-Mitzenmacher: lane_i = (h1 + i*h2) & 2^60-1 from one md5) →
-    4 bands of 2 lanes → band-bucket self-join on integer keys. All-pairs
-    O(n^2) becomes per-bucket pairs; integer band keys keep the shuffle
-    narrow (16 bytes/row vs md5 strings).
-
-    The signature is computed entirely in ARRAY land (transform +
-    array_min over the shingle array): no explode, no groupBy — the
-    per-doc min-reduction that the explode+agg form paid a map-side
-    combine for happens inside one projected row, so the first shuffle
-    in the whole plan is the (tiny) band self-join. ~3x faster than the
-    explode form and strictly fewer shuffles at any scale."""
-    docs = _docs(spark, sf_dir)
-    # md5 ONCE per shingle (own transform so the two conv halves share
-    # it), then two independent 60-bit halves; min() is idempotent to
-    # duplicate shingles so no distinct is needed
-    hexes = F.transform(_shingles(F.col("text")), F.md5)
-    hs = F.transform(
+def minhash_lane_hashes(col):
+    """Per-shingle (h1, h2) struct array: md5 ONCE per shingle (own
+    transform so the two conv halves share it), then two independent
+    60-bit halves for Kirsch-Mitzenmacher lane derivation."""
+    hexes = F.transform(_shingles(col), F.md5)
+    return F.transform(
         hexes,
         lambda x: F.struct(
             F.conv(F.substring(x, 1, 15), 16, 10).cast("long").alias("h1"),
             F.conv(F.substring(x, 16, 15), 16, 10).cast("long").alias("h2"),
         ),
     )
-    d = docs.select("doc_id", hs.alias("hs"))
-    sig = d.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    "hs",
-                    lambda p: (p.h1 + F.lit(i) * p.h2).bitwiseAND(F.lit(_MASK60)),
-                )
-            ).alias(f"h{i}")
-            for i in range(_MINHASH_LANES)
-        ],
-    ).persist()  # self-joined below: persist, don't recompute the hashing
-    bands = None
-    for b in range(_LSH_BANDS):
-        one = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.col(f"h{2 * b}").alias("k1"),
-            F.col(f"h{2 * b + 1}").alias("k2"),
+
+
+def minhash_sig_from_hashes(hs_col) -> "F.Column":
+    """8-lane signature as array<long>: lane_i = min((h1 + i*h2) & 2^60-1)
+    — the per-doc min-reduction happens inside one projected row (array
+    transform + array_min), no explode, no groupBy. min() is idempotent
+    to duplicate shingles so no distinct is needed. KEEP the hs column
+    materialized in its own select step (see q_dedup_minhash_lsh): the
+    8 lanes reference it 8 times, and a collapsed projection would
+    re-hash every shingle per lane."""
+    return F.array(*[
+        F.array_min(
+            F.transform(
+                hs_col,
+                lambda p: (p.h1 + F.lit(i) * p.h2).bitwiseAND(F.lit(_MASK60)),
+            )
         )
-        bands = one if bands is None else bands.unionByName(one)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "k1", "k2")
-    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "k1", "k2")
-    return (
-        a.join(b2, ["band", "k1", "k2"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+        for i in range(_MINHASH_LANES)
+    ])
+
+
+def band_keys_from_sig(sig_col) -> "F.Column":
+    """LSH band keys from a signature array: 4 bands of 2 lanes, each a
+    (band, k1, k2) struct — integer keys keep the band shuffle narrow."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.element_at(sig_col, 2 * b + 1).alias("k1"),
+            F.element_at(sig_col, 2 * b + 2).alias("k2"),
+        )
+        for b in range(_LSH_BANDS)
+    ])
+
+
+def bands_from_sig_table(sig_df: DataFrame) -> DataFrame:
+    """(doc_id, sig) -> exploded (doc_id, band, k1, k2) rows."""
+    return sig_df.select(
+        "doc_id", F.explode(band_keys_from_sig(F.col("sig"))).alias("bk")
+    ).select("doc_id", "bk.band", "bk.k1", "bk.k2")
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle → 8-lane minhash signature
+    (Kirsch-Mitzenmacher: lane_i = (h1 + i*h2) & 2^60-1 from one md5) →
+    4 bands of 2 lanes → posting list per band bucket → row-local pair
+    generation with a hot-bucket cap (lsh_band_pairs). All-pairs O(n^2)
+    becomes per-bucket pairs BOUNDED at max(cap^2, m) per bucket; integer
+    band keys keep the shuffle narrow (16 bytes/row vs md5 strings).
+
+    The signature is computed entirely in ARRAY land (transform +
+    array_min over the shingle array): no explode of shingles, no
+    per-doc groupBy — the min-reduction happens inside one projected
+    row. The band keys then EXPLODE (4 small rows/doc) straight into the
+    posting-list groupBy: one shuffle builds the buckets, pairs are
+    generated inside each posting row, and only the final distinct
+    shuffles again. No self-join, no persist, strictly fewer shuffles
+    than the join form at any scale."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", minhash_lane_hashes(F.col("text")).alias("hs"))
+    sig = d.select("doc_id", minhash_sig_from_hashes(F.col("hs")).alias("sig"))
+    return lsh_band_pairs(bands_from_sig_table(sig), _LSH_BUCKET_CAP)
 
 
 _SIMHASH_BITS = 16

@@ -76,6 +76,18 @@ class CrawlScheduler:
         self.store = SnapshotStore(
             spark, root, bucket_spec=crawl_bucket_spec(n_shards=n_shards)
         )
+        # On reopen the store's PERSISTED bucket_spec wins (tables.py) —
+        # but mark_seen/update_sketches shard by THIS scheduler's
+        # n_shards. A mismatch silently breaks the dirty-bucket ==
+        # dirty-shard contract (sketch false negatives -> re-admission of
+        # seen URLs), so fail loudly instead.
+        persisted_n = self.store.bucket_spec.get("seen", {}).get("n")
+        if persisted_n != n_shards:
+            raise ValueError(
+                f"store at {root!r} was created with seen n_shards="
+                f"{persisted_n}, scheduler configured with {n_shards}; "
+                "reopen with the store's shard count"
+            )
         self.universe = universe
         self.n_seeds = n_seeds
         self.k_per_host = k_per_host
@@ -219,6 +231,7 @@ class CrawlScheduler:
         popped = frontier_op.pop(pop_src, as_of, self.k_per_host, budget).persist()
         n_popped = popped.count()
         if n_popped == 0:
+            popped.unpersist()  # empty batches must not leak cached blocks
             st.commit({}, properties={"batch_id": batch_id + 1, **wm_props})
             return {"batch_id": batch_id, "popped": 0, "fetched_ok": 0,
                     "errors": 0, "admitted": 0, "rejected": 0}

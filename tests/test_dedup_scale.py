@@ -1,0 +1,97 @@
+"""Scale-shape guarantees of the dedup operators: the hot-bucket cap on
+the minhash LSH pair generator (a duplicate-heavy corpus must not go
+quadratic in one band bucket) and small-bucket exactness."""
+
+from pyspark.sql import functions as F
+
+from crawler_spark.queries_ml import _LSH_BUCKET_CAP, lsh_band_pairs
+
+
+def _one_bucket(spark, n):
+    """n docs all hashing into the same (band, k1, k2) bucket — the
+    boilerplate/empty-page degeneracy."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.lit(7).cast("long").alias("k1"),
+        F.lit(9).cast("long").alias("k2"),
+    )
+
+
+def test_hot_bucket_emits_star_edges_not_all_pairs(spark):
+    n = 1000
+    pairs = lsh_band_pairs(_one_bucket(spark, n), _LSH_BUCKET_CAP)
+    rows = pairs.collect()
+    # O(m), never O(m^2): a 1000-doc duplicate cluster yields 999 rows
+    assert len(rows) == n - 1
+    # star edges: every pair is incident to the bucket-min doc, so the
+    # bucket stays CONNECTED for downstream component clustering
+    assert all(r["doc_a"] == 0 for r in rows)
+    assert sorted(r["doc_b"] for r in rows) == list(range(1, n))
+
+
+def test_small_bucket_keeps_exact_all_pairs(spark):
+    m = 5
+    pairs = lsh_band_pairs(_one_bucket(spark, m), _LSH_BUCKET_CAP)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    want = {(a, b) for a in range(m) for b in range(m) if a < b}
+    assert got == want  # m*(m-1)/2 ordered pairs, nothing dropped
+
+
+def test_cap_boundary(spark):
+    # exactly at the cap: still all-pairs; one past it: star edges
+    at = lsh_band_pairs(_one_bucket(spark, _LSH_BUCKET_CAP), _LSH_BUCKET_CAP)
+    assert at.count() == _LSH_BUCKET_CAP * (_LSH_BUCKET_CAP - 1) // 2
+    past = lsh_band_pairs(_one_bucket(spark, _LSH_BUCKET_CAP + 1), _LSH_BUCKET_CAP)
+    assert past.count() == _LSH_BUCKET_CAP
+
+
+def test_phash_banding_covers_rescore_threshold():
+    """Pigeonhole bound: the banding must guarantee a shared band for
+    every pair within _PHASH_HAMMING_MAX — i.e. bands > threshold. The
+    adversarial case that killed 4x15 banding: one flipped bit per band
+    (a distance-4 pair with no shared 15-bit band) MUST share a band
+    under the 5x12 scheme."""
+    from crawler_spark.queries_media import (
+        _PHASH_BAND_BITS,
+        _PHASH_BANDS,
+        _PHASH_HAMMING_MAX,
+    )
+
+    assert _PHASH_BANDS * _PHASH_BAND_BITS == 60
+    assert _PHASH_BANDS > _PHASH_HAMMING_MAX  # the lossless-filter bound
+
+    def bands(x):
+        mask = (1 << _PHASH_BAND_BITS) - 1
+        return [(x >> (_PHASH_BAND_BITS * i)) & mask for i in range(_PHASH_BANDS)]
+
+    import random
+
+    rng = random.Random(13)
+    base = rng.getrandbits(60)
+    # adversarial: flip one bit inside each of four DIFFERENT old 15-bit
+    # bands (bits 0, 15, 30, 45) — distance exactly 4
+    adv = base ^ (1 << 0) ^ (1 << 15) ^ (1 << 30) ^ (1 << 45)
+    assert bin(base ^ adv).count("1") == 4
+    assert any(a == b for a, b in zip(bands(base), bands(adv)))
+    # property check: any <=4-flip neighbour shares a band
+    for _ in range(200):
+        k = rng.randint(1, _PHASH_HAMMING_MAX)
+        flips = rng.sample(range(60), k)
+        y = base
+        for b in flips:
+            y ^= 1 << b
+        assert any(a == c for a, c in zip(bands(base), bands(y))), flips
+    # and there EXISTS a 5-flip pair with no shared band (the bound is tight)
+    y5 = base
+    for b in (0, 12, 24, 36, 48):
+        y5 ^= 1 << b
+    assert not any(a == c for a, c in zip(bands(base), bands(y5)))
+
+
+def test_pairs_distinct_across_bands(spark):
+    # the same pair surfacing in two bands must be emitted once
+    b0 = _one_bucket(spark, 3)
+    b1 = b0.withColumn("band", F.lit(1))
+    pairs = lsh_band_pairs(b0.unionByName(b1), _LSH_BUCKET_CAP)
+    assert pairs.count() == 3

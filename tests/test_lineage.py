@@ -62,6 +62,20 @@ def test_lineage_identical_across_runs(spark, tmp_path_factory):
         assert recomputed[name] == h, f"{name}: logged {h} != recomputed {recomputed[name]}"
 
 
+def test_reopen_with_mismatched_shards_fails_loudly(spark, tmp_path_factory):
+    """The store's persisted bucket_spec wins on reopen — a scheduler
+    configured with a DIFFERENT n_shards would silently break the
+    dirty-bucket == dirty-shard sketch contract (re-admission of seen
+    URLs), so construction must refuse the mismatch."""
+    import pytest
+
+    root = str(tmp_path_factory.mktemp("mismatch"))
+    _run(spark, root, 1)  # creates the store with n_shards=8
+    bad = dict(PARAMS, n_shards=16)
+    with pytest.raises(ValueError, match="n_shards"):
+        CrawlScheduler(spark, root, **bad)
+
+
 def test_incremental_frontier_hash_equals_full(spark, tmp_path_factory):
     """The O(dirty-buckets) incremental frontier lineage hash (sum of
     per-bucket xxhash64 sums carried in snapshot properties) must equal

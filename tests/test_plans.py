@@ -119,6 +119,7 @@ _JVM_ONLY = [
     "text_quality_score", "text_lang_id", "keyword_tokenize",
     "salted_heavy_hitters", "video_refresh_policy", "staleness_buckets",
     "json_props_parse", "training_corpus_select", "image_phash_neardup",
+    "knn_ann_indexed_topk", "knn_ivf_indexed_topk", "dedup_minhash_indexed",
 ]
 
 
