@@ -415,17 +415,28 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def synth_pixels(image_id: str, min_side: int = 32, max_side: int = 64) -> np.ndarray:
-    """Deterministic per-id pixel matrix: PRNG(image_id) -> gradient+noise
-    (FIXTURES.md §1 generation recipe)."""
+    """Deterministic per-id pixel matrix: PRNG(image_id) -> gradient +
+    per-image 8x8 block pattern + noise (FIXTURES.md §1 recipe).
+
+    The block pattern is the load-bearing part: it gives every image
+    DISTINCT coarse structure, so phash64 (8x8 block-mean aHash) assigns
+    distant hashes to distinct images (~32-bit Hamming) while re-encoded
+    copies of the SAME pixels stay within a few bits. A shared gradient
+    alone made every synthetic image one near-dup cluster — degenerate
+    for corpus dedup."""
     seed = url_hash64(image_id) & 0xFFFFFFFF
     rng = np.random.default_rng(seed)
     h = int(rng.integers(min_side, max_side + 1))
     w = int(rng.integers(min_side, max_side + 1))
     gy = np.linspace(0, 255, h)[:, None]
     gx = np.linspace(0, 255, w)[None, :]
-    base = (gy * 0.5 + gx * 0.5)
+    base = (gy * 0.25 + gx * 0.25)
+    blocks = rng.integers(0, 128, size=(8, 8)).astype("float64")
+    pat = np.repeat(
+        np.repeat(blocks, -(-h // 8), axis=0), -(-w // 8), axis=1
+    )[:h, :w]
     noise = rng.integers(0, 32, size=(h, w))
-    return np.clip(base + noise, 0, 255).astype("uint8")
+    return np.clip(base + pat + noise, 0, 255).astype("uint8")
 
 
 # ---------------------------------------------------------------------------

@@ -142,7 +142,7 @@ def decode_verify(corpus_like: DataFrame) -> DataFrame:
             ids, phashes, psnrs = [], [], []
             for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
                 px = kernels.decode_image(bytes(payload))
-                src = kernels.synth_pixels(image_id)
+                src = synth.content_pixels(image_id)
                 ids.append(image_id)
                 phashes.append(kernels.phash64(px))
                 psnrs.append(

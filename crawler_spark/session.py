@@ -42,6 +42,10 @@ def get_spark(
         # --- Python surface: Arrow everywhere ---------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # pin worker reuse (defaults true, but scaling efficiency depends
+        # on it: forking a fresh python worker per task would charge
+        # startup to every task at the high-core level)
+        .config("spark.python.worker.reuse", "true")
         # binary image payloads: bound Arrow batch bytes so executor memory
         # stays bounded when `bytes` columns flow through mapInArrow
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")

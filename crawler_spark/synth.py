@@ -62,6 +62,48 @@ def index_of_url(url: str) -> int:
     return int(url.rsplit("/", 1)[-1])
 
 
+# image mirroring: URL indices ending 7/8/9 re-host the IMAGE of their
+# decade's index-0 page (cross-host mirrors of the same picture), but
+# re-encode it under their OWN fmt draw — a png mirror of a jpeg original
+# (or vice versa) decodes to near-identical pixels and a near-dup phash.
+# This is what gives the engine's corpus real re-encoded near-duplicates
+# for the dedup maintenance stage to collapse. Page text/links/caption
+# stay keyed by the URL itself (independent PRNG streams), so pop-order
+# and feed parity are untouched.
+MIRROR_RESIDUES = (7, 8, 9)
+
+
+def content_url(url: str) -> str:
+    """The URL whose pixel stream this page's image is derived from:
+    itself, or the decade-base page it mirrors."""
+    i = index_of_url(url)
+    if i % 10 in MIRROR_RESIDUES:
+        return url_of_index(i - i % 10)
+    return url
+
+
+def content_pixels(url: str) -> np.ndarray:
+    """SOURCE pixels for a URL's image: the content page's pixels, plus —
+    for mirrors — a small deterministic single-block brightness patch (a
+    re-hoster's watermark/logo edit). The patch makes mirrors true
+    NEAR-duplicates (phash a bit or two off the base, never byte-equal),
+    while PSNR checks against THIS function keep measuring codec loss
+    only. Patch geometry matches phash64's 8x8 block grid so the edit
+    moves at most ~1 block mean."""
+    curl = content_url(url)
+    base = kernels.synth_pixels(curl)
+    if curl == url:
+        return base
+    r = _rng("mirror:" + url)
+    h, w = base.shape
+    ys = np.linspace(0, h, 9, dtype=int)
+    xs = np.linspace(0, w, 9, dtype=int)
+    by, bx = int(r.integers(0, 8)), int(r.integers(0, 8))
+    px = base.astype("int16").copy()
+    px[ys[by]:ys[by + 1], xs[bx]:xs[bx + 1]] += 32
+    return np.clip(px, 0, 255).astype("uint8")
+
+
 # ---------------------------------------------------------------------------
 # page content (what "fetching" a URL returns)
 # ---------------------------------------------------------------------------
@@ -87,7 +129,9 @@ def page_for_url(url: str, universe: int = 10_000, with_payload: bool = True) ->
     caption = f"{title} | img-{kernels.url_hash64(url) & 0xFFFF}"
     fmt = "jpeg" if r.random() < 0.5 else "png"
     if with_payload:
-        pixels = kernels.synth_pixels(url)  # independent PRNG stream
+        # independent PRNG stream; mirrors share the base page's pixels
+        # (plus their own watermark patch — see content_pixels)
+        pixels = content_pixels(url)
         payload = kernels.encode_image(pixels, fmt)
         w, h = int(pixels.shape[1]), int(pixels.shape[0])
     else:

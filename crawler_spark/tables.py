@@ -69,6 +69,9 @@ def crawl_bucket_spec(n_shards: int = 16, n_buckets: int = 16) -> dict:
         "seen": {"mode": "hash", "key": "url_hash", "n": n_shards},
         "pages": {"mode": "hash", "key": "url_hash", "n": n_buckets},
         "corpus": {"mode": "hash", "key": "image_id", "n": n_buckets},
+        # near-dup cluster sidecar, bucketed identically to corpus so the
+        # maintenance merge co-locates with the rows it annotates
+        "corpus_clusters": {"mode": "hash", "key": "image_id", "n": n_buckets},
         "items": {"mode": "hash", "key": "url_hash", "n": n_buckets},
         "metrics_daily": {"mode": "value", "key": "yyyymmdd"},
     }

@@ -97,7 +97,7 @@ def test_corpus_captions_phash_and_pixels(engine_and_sim):
         px_e = kernels.decode_image(bytes(e["bytes"]))
         px_s = kernels.decode_image(sim_row["bytes"])
         assert np.array_equal(px_e, px_s)                  # decoded allclose
-        src = kernels.synth_pixels(image_id)
+        src = synth.content_pixels(image_id)
         assert kernels.psnr(src, px_e) >= 40.0             # PSNR invariant
 
 
