@@ -127,6 +127,14 @@ class SimilarityIndex:
         """ONLY the given bucket's files — the partition-pruned ANN probe."""
         return self.store.read_buckets("emb_lsh", [str(int(bucket))])
 
+    def lsh_partitions(self, buckets) -> DataFrame:
+        """A multiprobe read: the union of the named buckets' partition
+        files (missing buckets prune to nothing). Still file-level
+        pruning — a B-probe query reads B/2^bits of the index."""
+        return self.store.read_buckets(
+            "emb_lsh", sorted({str(int(b)) for b in buckets})
+        )
+
     def ivf_partition(self, cell: int) -> DataFrame:
         return self.store.read_buckets("emb_ivf", [str(int(cell))])
 

@@ -22,8 +22,10 @@ from crawler_spark.operators.vindex import index_for
 from crawler_spark.queries import _t, register
 from crawler_spark.queries_media import _ANN_TOPK_SQL, _IVF_SQL, _bucket_col
 from crawler_spark.queries_ml import (
+    _ANN_BITS as _ANN_BITS_REF,
     _LSH_BUCKET_CAP,
     _MINHASH_SQL,
+    _bucket_terms_sql as _bucket_terms_sql_ref,
     bands_from_sig_table,
     lsh_band_pairs,
 )
@@ -95,3 +97,54 @@ def q_dedup_minhash_indexed(spark, sf_dir):
     Same oracle (and hot-bucket cap) as dedup_minhash_lsh."""
     sigs = index_for(spark, sf_dir).minhash_sigs()
     return lsh_band_pairs(bands_from_sig_table(sigs), _LSH_BUCKET_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Multiprobe LSH ANN (recall knob over the same persisted index)
+# ---------------------------------------------------------------------------
+# Sign-LSH loses any neighbor that lands across one hyperplane. Multiprobe
+# (Lv et al., public paper) recovers most of that recall WITHOUT more
+# tables: probe the query's bucket plus the `bits` buckets at Hamming
+# distance 1 (one sign flipped). The probe still reads only
+# (bits+1)/2^bits of the index via file-level partition pruning.
+
+_MULTIPROBE_SQL = """
+    WITH b AS (SELECT vec_id, embedding, {terms} AS bucket FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+    cand AS (
+      SELECT b.vec_id,
+             list_sum(list_transform(list_zip(b.embedding, q.qv),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+      FROM b, q
+      WHERE b.vec_id != 0 AND (b.bucket = q.qb{flips})
+    )
+    SELECT vec_id, round(1e-9 + sim, 4) AS cosine
+    FROM cand
+    ORDER BY round(1e-9 + sim, 4) DESC, vec_id ASC
+    LIMIT 5
+""".format(
+    terms=_bucket_terms_sql_ref,
+    flips="".join(
+        f" OR b.bucket = xor(q.qb, {1 << i}::BIGINT)" for i in range(_ANN_BITS_REF)
+    ),
+)
+
+
+@register("knn_ann_multiprobe_topk", _MULTIPROBE_SQL)
+def q_knn_ann_multiprobe_topk(spark, sf_dir):
+    """Multiprobe ANN over the PERSISTED sign-LSH index: read the query's
+    bucket partition plus its `bits` one-flip neighbors, exact cosine
+    rescore + top-k over the union. Recall strictly dominates the
+    single-probe form at (bits+1)x the probe I/O — still partition-pruned
+    file reads, never a table scan."""
+    qv, qb = _query_vec(spark, sf_dir, with_cell=False)
+    probes = [qb] + [qb ^ (1 << i) for i in range(_ANN_BITS_REF)]
+    probe = index_for(spark, sf_dir).lsh_partitions(probes)
+    return (
+        probe.filter(F.col("vec_id") != 0)
+        .select("vec_id", _cosine_vs_literal(qv).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )

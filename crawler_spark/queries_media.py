@@ -586,3 +586,74 @@ def q_video_frame_sample(spark, sf_dir):
             yield pd.DataFrame(rows)
 
     return docs.repartition(n).mapInPandas(_sample, _FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# SemDedup: semantic dedup within (IVF cell x sign-LSH bucket) groups
+# ---------------------------------------------------------------------------
+# SemDedup (Abbas et al., public paper) deduplicates by embedding
+# similarity WITHIN k-means clusters so the pair space never goes global.
+# Here the cluster key is the composite (cell, bucket) both similarity
+# indexes already maintain: pairs are generated by an EQUI-join on that
+# key (shuffle hash join — never BNLJ), cosine >= threshold marks the
+# higher vec_id a duplicate of the lowest matching vec_id. At 100 TB the
+# group key is the index partition key, so the self-join co-locates by
+# construction and each task sees one cell/bucket slice.
+# Threshold: looser than the near-dup join's (testdata vectors are
+# near-random, max pair cosine ~0.51) so the gate exercises real rows.
+
+_SEMDEDUP_THRESHOLD = 0.3
+
+_SEMDEDUP_SQL = """
+    WITH cb AS (
+      SELECT vec_id, embedding, {terms} AS bucket,
+             array_position(d, list_max(d)) AS cell
+      FROM (SELECT vec_id, embedding, [{dots}] AS d FROM embeddings)
+    ),
+    p AS (
+      SELECT b.vec_id AS vec_b, a.vec_id AS vec_a
+      FROM cb a JOIN cb b
+        ON a.cell = b.cell AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                    p -> p[1]::DOUBLE * p[2]::DOUBLE))
+            / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+               * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+            >= {thr}
+    )
+    SELECT vec_b AS vec_id, min(vec_a) AS dup_of FROM p GROUP BY vec_b
+""".format(terms=_bucket_terms_sql, dots=_cell_dots_sql, thr=_SEMDEDUP_THRESHOLD)
+
+
+@register("semdedup_cells", _SEMDEDUP_SQL)
+def q_semdedup_cells(spark, sf_dir):
+    """Semantic dedup: each vector that has a lower-id neighbor with
+    cosine >= threshold in its own (cell, bucket) group is reported with
+    its canonical (min vec_id) twin. Equi-join on the composite group
+    key; exact cosine only inside groups."""
+    from crawler_spark.operators.vindex import emb_ivf_rows
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb_ivf_rows(emb).withColumn("bucket", _bucket_col())
+    a = cb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "cell", "bucket",
+    )
+    b = cb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "cell", "bucket",
+    )
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = dsum(F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")))
+    na = F.sqrt(dsum(F.transform("ea", lambda x: x.cast("double") * x.cast("double"))))
+    nb = F.sqrt(dsum(F.transform("eb", lambda x: x.cast("double") * x.cast("double"))))
+    return (
+        a.join(b, ["cell", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(dot / (na * nb) >= F.lit(_SEMDEDUP_THRESHOLD))
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+        .select(F.col("vec_b").alias("vec_id"), "dup_of")
+    )

@@ -634,3 +634,91 @@ def q_text_fingerprint_bottomk(spark, sf_dir):
         .filter(F.col("rank") <= 4)
         .select("doc_id", "rank", "fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter (quality gate for training corpora)
+# ---------------------------------------------------------------------------
+# Rahimi et al.-style repetition signals (Gopher, Table A1 — public paper):
+# a doc is dropped when too much of it is the same content repeated. Two
+# signals, both engine-portable:
+#   dup_word_frac   = 1 - |distinct words| / |words|   (array-land, NO shuffle)
+#   top_bigram_frac = occurrences of the most frequent bigram / total bigrams
+# The bigram count is a standard two-level agg (map-side partial combine on
+# (doc_id, gram), then per-doc max/sum) — the 100 TB shape; keep is computed
+# from the ROUNDED values on both engines so the boundary cannot diverge.
+
+_REP_DUP_MAX = 0.7
+_REP_TOP_MAX = 0.2
+
+_REPETITION_SQL = """
+    WITH w AS (SELECT doc_id, {words} AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      FROM w WHERE len(ws) >= 2
+    ),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    tg AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_frac FROM gc GROUP BY doc_id),
+    dw AS (
+      SELECT doc_id,
+             1.0 - len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1) AS dup_frac
+      FROM w
+    )
+    SELECT dw.doc_id,
+           round(1e-9 + dup_frac, 4) AS dup_word_frac,
+           round(1e-9 + coalesce(top_frac, 0.0), 4) AS top_bigram_frac,
+           (round(1e-9 + dup_frac, 4) <= {dmax}
+            AND round(1e-9 + coalesce(top_frac, 0.0), 4) <= {tmax}) AS keep
+    FROM dw LEFT JOIN tg ON dw.doc_id = tg.doc_id
+""".format(words=WORDS_SQL.format(x="text"), dmax=_REP_DUP_MAX, tmax=_REP_TOP_MAX)
+
+
+@register("text_repetition_filter", _REPETITION_SQL)
+def q_text_repetition_filter(spark, sf_dir):
+    """Repetition-based quality gate: duplicate-word fraction (row-local
+    array math, no shuffle) + top-bigram fraction (two-level agg with
+    map-side combine). Same tokenizer as every other text query
+    (WORDS_SQL twin)."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    n1 = F.size("ws") - 1
+    grams = (
+        w.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", F.lit(1), n1),
+                    F.slice("ws", F.lit(2), n1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("gram"),
+        )
+    )
+    tg = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("top_frac"))
+    )
+    dw = w.select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("ws")) / F.greatest(F.size("ws"), F.lit(1))
+        ).alias("dup_frac"),
+    )
+    out = dw.join(tg, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.col("dup_frac") + F.lit(1e-9), 4).alias("dup_word_frac"),
+        F.round(F.coalesce(F.col("top_frac"), F.lit(0.0)) + F.lit(1e-9), 4).alias(
+            "top_bigram_frac"
+        ),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= F.lit(_REP_DUP_MAX))
+        & (F.col("top_bigram_frac") <= F.lit(_REP_TOP_MAX)),
+    )

@@ -120,6 +120,7 @@ _JVM_ONLY = [
     "salted_heavy_hitters", "video_refresh_policy", "staleness_buckets",
     "json_props_parse", "training_corpus_select", "image_phash_neardup",
     "knn_ann_indexed_topk", "knn_ivf_indexed_topk", "dedup_minhash_indexed",
+    "text_repetition_filter", "semdedup_cells", "knn_ann_multiprobe_topk",
 ]
 
 
@@ -166,3 +167,13 @@ def test_image_phash_neardup_is_bucketed_equi_join():
 def test_image_phash_neardup_jvm_only():
     p = plan_str(QUERIES["image_phash_neardup"](_spark(), SF_SMALL), mode="extended")
     assert "EvalPython" not in p
+
+
+def test_semdedup_is_grouped_equi_join():
+    """SemDedup's pair generation must be an EQUI-join on the composite
+    (cell, bucket) group key — a BNLJ here means the group key was lost
+    and the pair space went global (the exact failure mode SemDedup's
+    within-cluster restriction exists to avoid)."""
+    p = plan_str(QUERIES["semdedup_cells"](_spark(), SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)

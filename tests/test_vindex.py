@@ -108,3 +108,22 @@ def test_index_root_is_reused_within_process(spark):
     b = index_for(spark, SF_SMALL)
     assert a is b
     assert os.path.isdir(a.store.root)
+
+
+def test_multiprobe_scans_only_probe_buckets(spark):
+    """Multiprobe reads the query bucket + its one-flip neighbors and
+    NOTHING else: every input file belongs to one of the probed
+    partitions, and buckets outside the probe set stay untouched."""
+    from crawler_spark.operators.vindex import index_for
+    from crawler_spark.queries_index import _query_vec
+    from crawler_spark.queries_ml import _ANN_BITS
+
+    sf_dir = "/root/testdata/sf0.001"
+    _, qb = _query_vec(spark, sf_dir, with_cell=False)
+    probes = {qb} | {qb ^ (1 << i) for i in range(_ANN_BITS)}
+    ix = index_for(spark, sf_dir)
+    files = ix.lsh_partitions(probes).inputFiles()
+    assert files, "multiprobe reads no files"
+    assert all(any(f"__bucket={b}/" in f for b in probes) for f in files)
+    all_files = ix.store.read("emb_lsh").inputFiles()
+    assert len(all_files) > len(files), "probe did not prune the index scan"
