@@ -36,6 +36,55 @@ from pyspark.sql import functions as F
 _PHASH_CAPTION_BAND_OFFSET = 1_000  # keep caption band-space disjoint
 
 
+def corpus_band_rows(base: DataFrame) -> DataFrame:
+    """(img, phash, caption) -> unified band-membership rows
+    (bh, band, k1, img, phash) — the ONE place corpus band keys are
+    defined, so the full edge build and the incremental posting table
+    agree by construction. phash bands: band 0..4, k1 = 12-bit phash
+    slice; caption bands: band offset+j, k1 = md5h of a 5-word slice
+    (phash carried as 0 — caption pairs are never rescored).
+    bh = xxhash64(band, k1) is the posting bucket/join key."""
+    from crawler_spark.queries import md5h
+    from crawler_spark.queries_media import _PHASH_BAND_BITS, _PHASH_BANDS
+
+    band_mask = (1 << _PHASH_BAND_BITS) - 1
+    pband = base.select(
+        "img",
+        "phash",
+        F.explode(F.array(*[F.lit(i) for i in range(_PHASH_BANDS)])).alias("band"),
+    ).select(
+        "band",
+        F.expr(f"(phash >> ({_PHASH_BAND_BITS} * band)) & {band_mask}").alias("k1"),
+        "img",
+        "phash",
+    )
+    ws = base.select("img", F.split(F.trim(F.lower("caption")), r"\s+").alias("ws"))
+    cband = (
+        ws.select(
+            "img",
+            F.array(
+                md5h(F.array_join(F.slice("ws", 1, 5), " ")),
+                md5h(F.array_join(F.slice("ws", 4, 5), " ")),
+            ).alias("bs"),
+        )
+        .select("img", F.posexplode("bs").alias("j", "k1"))
+        .select(
+            (F.col("j") + F.lit(_PHASH_CAPTION_BAND_OFFSET)).cast("int").alias("band"),
+            "k1",
+            "img",
+            F.lit(0).cast("long").alias("phash"),
+        )
+    )
+    rows = pband.select("band", "k1", "img", "phash").unionByName(cband)
+    return rows.select(
+        F.xxhash64("band", "k1").alias("bh"),
+        F.col("band").cast("int").alias("band"),
+        "k1",
+        "img",
+        "phash",
+    )
+
+
 def corpus_edges(base: DataFrame, hamming_max: int = 4) -> DataFrame:
     """Near-dup candidate edges (a, b) over prepared corpus rows
     (img, phash, caption): phash-band pairs with exact Hamming rescore,
@@ -43,20 +92,13 @@ def corpus_edges(base: DataFrame, hamming_max: int = 4) -> DataFrame:
     plan-shape tests can assert no EvalPython / no BNLJ on the edge
     build."""
     # lazy imports: queries modules import operators at package-load time
-    from crawler_spark.queries import md5h
-    from crawler_spark.queries_media import _PHASH_BAND_BITS, _PHASH_BANDS
     from crawler_spark.queries_ml import lsh_band_pairs
 
+    rows = corpus_band_rows(base)
+
     # --- phash band candidates + exact Hamming rescore -------------------
-    band_mask = (1 << _PHASH_BAND_BITS) - 1
-    pbands = base.select(
-        F.col("img").alias("doc_id"),
-        "phash",
-        F.explode(F.array(*[F.lit(i) for i in range(_PHASH_BANDS)])).alias("band"),
-    ).select(
-        "doc_id",
-        "band",
-        F.expr(f"(phash >> ({_PHASH_BAND_BITS} * band)) & {band_mask}").alias("k1"),
+    pbands = rows.filter(F.col("band") < _PHASH_CAPTION_BAND_OFFSET).select(
+        F.col("img").alias("doc_id"), "band", "k1",
         F.lit(0).cast("long").alias("k2"),
     )
     ph = base.select("img", "phash")
@@ -73,22 +115,9 @@ def corpus_edges(base: DataFrame, hamming_max: int = 4) -> DataFrame:
     )
 
     # --- caption band stars ----------------------------------------------
-    ws = base.select("img", F.split(F.trim(F.lower("caption")), r"\s+").alias("ws"))
-    cbands = (
-        ws.select(
-            F.col("img").alias("doc_id"),
-            F.array(
-                md5h(F.array_join(F.slice("ws", 1, 5), " ")),
-                md5h(F.array_join(F.slice("ws", 4, 5), " ")),
-            ).alias("bs"),
-        )
-        .select("doc_id", F.posexplode("bs").alias("j", "k1"))
-        .select(
-            "doc_id",
-            (F.col("j") + F.lit(_PHASH_CAPTION_BAND_OFFSET)).alias("band"),
-            "k1",
-            F.lit(0).cast("long").alias("k2"),
-        )
+    cbands = rows.filter(F.col("band") >= _PHASH_CAPTION_BAND_OFFSET).select(
+        F.col("img").alias("doc_id"), "band", "k1",
+        F.lit(0).cast("long").alias("k2"),
     )
     cpairs = lsh_band_pairs(cbands)
 
@@ -137,3 +166,197 @@ def cluster_corpus(corpus: DataFrame, hamming_max: int = 4) -> DataFrame:
     finally:
         labels.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus dedup (fold a batch of NEW images into persisted state)
+# ---------------------------------------------------------------------------
+
+_BUCKET_CAP = 20  # same shape as queries_ml._LSH_BUCKET_CAP
+
+
+def incremental_cluster_step(
+    store,
+    new_rows: DataFrame,
+    prev_clusters: DataFrame,
+    hamming_max: int = 4,
+    cap: int = _BUCKET_CAP,
+):
+    """Fold NEW corpus rows into persisted cluster state without touching
+    the rest of the corpus.
+
+    new_rows:      (image_id, phash, caption, area, img) — corpus rows NOT
+                   yet in `corpus_clusters` (img = md5h(image_id)).
+    prev_clusters: the full current `corpus_clusters` sidecar.
+
+    Cost shape (the 10^10-corpus story): the candidate lookup reads ONLY
+    the `corpus_bands` posting buckets the batch's band keys hash into
+    (bucket-pruned files, asserted in tests); label propagation runs on
+    the QUOTIENT graph (batch docs + touched components, never the whole
+    corpus); canonical re-selection touches only clusters that changed,
+    with areas fetched via a bucket-pruned read of `corpus`. Hot band
+    buckets are capped: once a bucket holds > cap members, new members
+    connect only to the bucket-min img (star) — O(batch) growth, same
+    defuse as the full path's lsh_band_pairs (exact agreement with the
+    full recompute holds while buckets stay under the cap; the scheduler
+    runs a periodic full recompute as the corrector).
+
+    Returns (upserts, new_postings, stats): CORPUS_CLUSTERS rows to merge
+    (new images + previously-clustered rows whose cluster_id/canonical
+    changed), CORPUS_BANDS rows to append, and counters."""
+    from crawler_spark.queries import md5h
+    from crawler_spark.queries_graph import propagate_min_labels
+
+    spark = new_rows.sparkSession
+    nb = corpus_band_rows(
+        new_rows.select("img", "phash", "caption")
+    ).persist()
+    labels_old = prev_clusters.select(
+        md5h("image_id").alias("doc_id"), "cluster_id"
+    )
+
+    # --- candidate pairs: new members vs (posting ∪ batch) co-members ----
+    touched = store.bucket_labels("corpus_bands", nb)
+    old_posts = store.read_buckets("corpus_bands", touched).join(
+        nb.select("bh").distinct(), "bh", "left_semi"
+    )
+    all_posts = old_posts.unionByName(nb).persist()
+    bstats = all_posts.groupBy("bh").agg(
+        F.count(F.lit(1)).alias("m"), F.min("img").alias("bmin")
+    )
+    raw = (
+        nb.alias("n")
+        .join(all_posts.alias("p"), "bh")
+        .join(bstats, "bh")
+        .filter(F.col("n.img") != F.col("p.img"))
+        # over-cap buckets: star edges only. p==bmin covers the normal
+        # star; n==bmin covers a NEW member that becomes the bucket min
+        # (its star center) — without it that member emits zero edges
+        # and stays disconnected while the full recompute connects it.
+        .filter(
+            (F.col("m") <= cap)
+            | (F.col("p.img") == F.col("bmin"))
+            | (F.col("n.img") == F.col("bmin"))
+        )
+    )
+    resc = raw.filter(
+        (F.col("n.band") >= _PHASH_CAPTION_BAND_OFFSET)
+        | (
+            F.bit_count(F.col("n.phash").bitwiseXOR(F.col("p.phash")))
+            <= hamming_max
+        )
+    )
+    pairs = (
+        resc.select(
+            F.least("n.img", "p.img").alias("a"),
+            F.greatest("n.img", "p.img").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+
+    # --- quotient-graph label fold ---------------------------------------
+    def to_label(df, col):
+        return (
+            df.join(labels_old.withColumnRenamed("doc_id", col), col, "left")
+            .withColumn(f"__l_{col}", F.coalesce("cluster_id", F.col(col)))
+            .drop("cluster_id")
+        )
+
+    q = to_label(to_label(pairs, "a"), "b")
+    qedges = (
+        q.select(F.col("__l_a").alias("a"), F.col("__l_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    qedges = qedges.unionByName(
+        qedges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    qnodes = qedges.select(F.col("a").alias("doc_id")).distinct()
+    qlabels = None
+    if qnodes.limit(1).count() == 0:
+        remap = spark.createDataFrame([], "old_label long, new_label long")
+    else:
+        qlabels = propagate_min_labels(
+            qnodes.select("doc_id", F.col("doc_id").alias("cluster_id")), qedges
+        )
+        remap = qlabels.select(
+            F.col("doc_id").alias("old_label"),
+            F.col("cluster_id").alias("new_label"),
+        ).filter(F.col("old_label") != F.col("new_label"))
+    remap = remap.localCheckpoint()  # materialize so qlabels can release
+
+    # --- changed clusters + canonical re-selection -----------------------
+    # new images start as their own label; remap folds both them and any
+    # touched old components onto the new min label
+    fresh = new_rows.select(
+        F.col("img").alias("doc_id"), F.col("img").alias("cluster_id")
+    )
+    labels_all = labels_old.unionByName(fresh)
+    relabeled = (
+        labels_all.join(remap, labels_all.cluster_id == remap.old_label, "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_label", "cluster_id").alias("cluster_id"),
+        )
+    )
+    # clusters needing (re-)selection: every new image's final cluster +
+    # every old cluster a remap touched
+    touched_clusters = (
+        relabeled.join(fresh.select("doc_id"), "doc_id", "left_semi")
+        .select("cluster_id")
+        .unionByName(remap.select(F.col("new_label").alias("cluster_id")))
+        .distinct()
+    )
+    members = relabeled.join(touched_clusters, "cluster_id", "left_semi")
+    # member attributes: new rows carry them; old members fetch image_id/
+    # phash from the sidecar and area from a bucket-pruned corpus read
+    new_attr = new_rows.select(
+        F.col("img").alias("doc_id"), "image_id", "phash", "area"
+    )
+    old_ids = prev_clusters.select(
+        md5h("image_id").alias("doc_id"), "image_id", "phash"
+    ).join(members.select("doc_id"), "doc_id", "left_semi")
+    old_keys = old_ids.select("image_id")
+    corpus_slice = store.read_buckets(
+        "corpus", store.bucket_labels("corpus", old_keys)
+    ).join(old_keys, "image_id", "left_semi").select(
+        "image_id", (F.col("w").cast("long") * F.col("h")).alias("area")
+    )
+    old_attr = old_ids.join(corpus_slice, "image_id")
+    attrs = new_attr.unionByName(old_attr)
+    rank = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("area").desc(), F.col("image_id").asc()
+        )
+    )
+    assigned = (
+        members.join(attrs, "doc_id")
+        .withColumn("canonical", rank == 1)
+        .select("image_id", "phash", "cluster_id", "canonical")
+        .persist()
+    )
+    # changed-row detection against a BUCKET-PRUNED sidecar slice, not
+    # the full table: assigned is O(touched clusters); anti-joining it
+    # against all of prev_clusters would shuffle the whole sidecar
+    a_ids = assigned.select("image_id")
+    prev_slice = store.read_buckets(
+        "corpus_clusters", store.bucket_labels("corpus_clusters", a_ids)
+    ).join(a_ids, "image_id", "left_semi")
+    upserts = assigned.join(
+        prev_slice, ["image_id", "phash", "cluster_id", "canonical"], "left_anti"
+    ).localCheckpoint()
+    assigned.unpersist()
+    stats = {
+        "mode": "incremental",
+        "new_images": new_rows.count(),
+        "pairs": pairs.count(),
+        "posting_buckets_read": len(touched),
+        "changed": upserts.count(),
+    }
+    postings = nb.localCheckpoint()
+    for df in (nb, all_posts, pairs, qedges):
+        df.unpersist()
+    if qlabels is not None:
+        qlabels.unpersist()
+    return upserts, postings, stats

@@ -67,6 +67,28 @@ def cleanup_caches() -> None:
             pass
 
 
+# -- localCheckpoint hygiene ------------------------------------------------
+# DataFrame.localCheckpoint() materializes into persisted RDD blocks that
+# DataFrame.unpersist() does NOT release (the checkpointed RDD is below the
+# plan cache). An RDD-id fence bounds a region; releasing the ids that
+# appeared inside it frees exactly that region's blocks.
+
+def rdd_ids(sc) -> set:
+    """Ids of currently-persisted RDDs (both cached plans and local
+    checkpoints)."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def release_rdds(sc, ids) -> None:
+    """Unpersist the given RDD ids (no-op for ids already gone). Only
+    call once nothing will recompute from the released blocks."""
+    m = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        r = m.get(int(i))
+        if r is not None:
+            r.unpersist(False)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -261,7 +261,11 @@ def incremental_cc_step(
 def doc_band_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, bh) rows for the two overlapping 5-word
     bands — the SAME band hashes _band_edges uses, so incremental and
-    full clustering agree."""
+    full clustering agree. The band POSITION is mixed into bh: the full
+    path (and the recursive-CTE oracle) partition by b1 and b2
+    separately, so a doc whose words-1..5 hash equals another doc's
+    words-4..8 hash must NOT share a bucket (real sf0.1 divergence: two
+    cross-position phrase collisions spuriously merged singletons)."""
     ws = docs.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("ws"))
     bands = ws.select(
         "doc_id",
@@ -269,7 +273,12 @@ def doc_band_hashes(docs: DataFrame) -> DataFrame:
         md5h(F.array_join(F.slice("ws", 4, 5), " ")).alias("b2"),
     )
     return bands.select(
-        "doc_id", F.explode(F.array("b1", "b2")).alias("bh")
+        "doc_id",
+        F.explode(
+            F.array(
+                F.xxhash64(F.lit(0), "b1"), F.xxhash64(F.lit(1), "b2")
+            )
+        ).alias("bh"),
     )
 
 
@@ -281,6 +290,11 @@ def q_dedup_cluster_incremental(spark, sf_dir):
     labels must equal clustering everything at once. Each step's labels
     are persisted+materialized so lineage doesn't stack across batches
     (in the crawl loop the SnapshotStore round-trip does this)."""
+    from crawler_spark.queries import add_cleanup_hook as _hook
+    from crawler_spark.queries import rdd_ids, release_rdds
+
+    sc = spark.sparkContext
+    before = rdd_ids(sc)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     labels = spark.createDataFrame([], "doc_id long, cluster_id long")
     band_reps = spark.createDataFrame([], "bh long, rep long")
@@ -294,7 +308,14 @@ def q_dedup_cluster_incremental(spark, sf_dir):
         # and the tree depth explodes (the crawl loop gets the same
         # truncation for free from the SnapshotStore round-trip)
         labels, band_reps = labels_new.localCheckpoint(), reps_new.localCheckpoint()
-    return track_persist(labels)
+    # the steps' checkpoint blocks + quotient persists are invisible to
+    # DataFrame.unpersist — release them by RDD id at cleanup time, after
+    # the tracked result cache (materialized below) has been dropped too
+    internals = rdd_ids(sc) - before
+    out = track_persist(labels)
+    out.count()
+    _hook(lambda: release_rdds(sc, internals))
+    return out
 
 
 _CANONICAL_SQL = f"""

@@ -184,6 +184,18 @@ CORPUS_CLUSTERS = StructType([
     _f("canonical", BooleanType()),
 ])
 
+# LSH-band posting list for the corpus (loop-maintained): one row per
+# (band bucket, member image). bh = xxhash64(band, k1) is the bucket/join
+# key; phash rides along so phash-band candidate pairs can be rescored
+# without touching the corpus table (0 for caption bands).
+CORPUS_BANDS = StructType([
+    _f("bh", LongType(), False),
+    _f("band", IntegerType()),
+    _f("k1", LongType()),
+    _f("img", LongType()),
+    _f("phash", LongType()),
+])
+
 # discovery link graph (ref: subscriptions API, youtube_service.rs:48-102)
 LINKS = StructType([
     _f("src_url_hash", LongType(), False),
@@ -209,4 +221,5 @@ TABLE_SCHEMAS: dict[str, StructType] = {
     "emb_ivf": EMB_IVF,
     "doc_minhash": DOC_MINHASH,
     "corpus_clusters": CORPUS_CLUSTERS,
+    "corpus_bands": CORPUS_BANDS,
 }

@@ -32,6 +32,17 @@ def crawl_bench(spark, params: dict | None = None, n_batches: int = N_BATCHES) -
         popped = sum(x["popped"] for x in stats)
         ok = sum(x["fetched_ok"] for x in stats)
         admitted = sum(x["admitted"] for x in stats)
+        # corpus-dedup maintenance: full recompute over the whole corpus
+        # vs the incremental fold of ONE batch's new images (reads only
+        # the touched corpus_bands buckets) — the steady-state tick must
+        # cost O(batch), not O(corpus)
+        t0 = time.perf_counter()
+        s.dedup_corpus(mode="full")
+        dedup_full_secs = time.perf_counter() - t0
+        s.run_batch()
+        t0 = time.perf_counter()
+        inc = s.dedup_corpus(mode="incremental")
+        dedup_incr_secs = time.perf_counter() - t0
         return {
             "crawl_batches": n_batches,
             "crawl_popped": popped,
@@ -40,6 +51,9 @@ def crawl_bench(spark, params: dict | None = None, n_batches: int = N_BATCHES) -
             "crawl_secs": round(secs, 3),
             "crawl_fetched_urls_per_sec": round(ok / secs, 2),
             "crawl_pops_per_sec": round(popped / secs, 2),
+            "crawl_dedup_full_secs": round(dedup_full_secs, 3),
+            "crawl_dedup_incr_secs": round(dedup_incr_secs, 3),
+            "crawl_dedup_incr_new_images": inc["new_images"],
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -68,6 +68,7 @@ class CrawlScheduler:
         discovery_interval_secs: int = 0,
         recrawl_interval_secs: int = 0,
         maintenance_every: int | None = None,
+        full_dedup_every: int = 4,
     ):
         self.spark = spark
         # bucket-level copy-on-write layout: a batch rewrites only the
@@ -120,6 +121,9 @@ class CrawlScheduler:
         # (semantics-free maintenance; keeps file counts and store size
         # bounded over long crawls)
         self.maintenance_every = maintenance_every
+        # every Nth dedup tick runs the FULL recompute as the corrector
+        # for the incremental fold (0/None = always full)
+        self.full_dedup_every = full_dedup_every
 
     # -- bootstrap ----------------------------------------------------------
 
@@ -430,48 +434,143 @@ class CrawlScheduler:
         self.init()
         return [self.run_batch() for _ in range(n_batches)]
 
-    def dedup_corpus(self) -> dict:
+    def dedup_corpus(self, mode: str = "auto") -> dict:
         """Maintenance stage (round-2 judge gap #2): near-dup cluster the
         engine's OWN corpus — phash-band the images, LSH-band the
         captions, connected components, one canonical row per cluster —
         and CoW-merge the result into the `corpus_clusters` sidecar.
+
+        Two execution modes, selected per tick (mode="auto"):
+
+        * "incremental" (steady state): fold ONLY the corpus rows not yet
+          in corpus_clusters, using the persisted `corpus_bands` posting
+          table — cost O(batch + touched buckets), independent of corpus
+          size (the 10^10-image story; see
+          corpus_dedup.incremental_cluster_step).
+        * "full" (corrector): recompute clusters over the whole corpus
+          AND rebuild the posting table from scratch — runs on the first
+          tick (no postings yet), whenever cascade deletes left stale
+          sidecar/posting rows, and every `full_dedup_every`-th tick.
 
         Only CHANGED assignments are upserted (new images, or rows whose
         cluster_id/canonical flipped because a new member joined), so the
         commit rewrites just the buckets those keys hash into; an
         unchanged corpus costs zero bucket rewrites. Image bytes never
         enter the stage (phash + caption only)."""
+        from crawler_spark.queries import rdd_ids, release_rdds
+
+        # RDD-id fence: the stage localCheckpoints intermediates, and
+        # those blocks are NOT released by DataFrame.unpersist — a
+        # long-running loop would leak them once per maintenance tick.
+        # Everything inside the fence is released after the commit.
+        sc = self.spark.sparkContext
+        fence = rdd_ids(sc)
+        try:
+            return self._dedup_corpus_inner(mode)
+        finally:
+            release_rdds(sc, rdd_ids(sc) - fence)
+
+    def _dedup_corpus_inner(self, mode: str = "auto") -> dict:
         from crawler_spark.operators import corpus_dedup
+        from crawler_spark.queries import md5h
 
         st = self.store
         corpus = st.read("corpus").select("image_id", "phash", "caption", "w", "h")
-        assigned = corpus_dedup.cluster_corpus(corpus)
         prev = st.read("corpus_clusters")
+        # sidecar rows whose image left the corpus (cascade delete) force
+        # the full path: their posting rows are stale too, and posting
+        # deletion can't derive the bh buckets from image_id
+        stale = prev.select("image_id").join(
+            corpus.select("image_id"), "image_id", "left_anti"
+        ).persist()
+        n_stale = stale.count()
+        tick = int(st.properties().get("dedup_tick", 0))
+        if mode == "auto":
+            corrector = (
+                not self.full_dedup_every
+                or (tick + 1) % self.full_dedup_every == 0
+            )
+            has_bands = bool(st._bucket_map("corpus_bands"))
+            mode = (
+                "full" if (n_stale or not has_bands or corrector)
+                else "incremental"
+            )
+        props = {"dedup_tick": tick + 1}
+        if mode == "incremental":
+            stale.unpersist()
+            return self._dedup_corpus_incremental(corpus, prev, props)
+
+        assigned = corpus_dedup.cluster_corpus(corpus)
         changed_rows = assigned.join(
             prev,
             ["image_id", "phash", "cluster_id", "canonical"],
             "left_anti",
         ).persist()
-        # sidecar rows whose image left the corpus (cascade delete)
-        stale = prev.select("image_id").join(
-            assigned.select("image_id"), "image_id", "left_anti"
-        ).persist()
-        n_changed, n_stale = changed_rows.count(), stale.count()
-        stats = {"corpus_rows": -1, "clusters": -1,
+        n_changed = changed_rows.count()
+        stats = {"mode": "full", "corpus_rows": -1, "clusters": -1,
                  "changed": int(n_changed), "removed": int(n_stale)}
         if self.collect_stats:
             stats["corpus_rows"] = assigned.count()
             stats["clusters"] = assigned.select("cluster_id").distinct().count()
+        # posting table rebuilt from scratch in the same atomic commit
+        # (full rewrite — the corrector resets any stale/over-cap rows)
+        base = corpus.select(
+            md5h("image_id").alias("img"), "phash", "caption"
+        )
+        merge_plans = {}
         if n_changed or n_stale:
-            plan = st.plan_merge(
+            merge_plans["corpus_clusters"] = st.plan_merge(
                 "corpus_clusters",
                 upsert=changed_rows if n_changed else None,
                 delete=stale if n_stale else None,
                 key="image_id",
             )
-            st.commit({}, merge={"corpus_clusters": plan})
+        st.commit(
+            {"corpus_bands": corpus_dedup.corpus_band_rows(base)},
+            properties=props,
+            merge=merge_plans,
+        )
         changed_rows.unpersist()
         stale.unpersist()
+        return stats
+
+    def _dedup_corpus_incremental(
+        self, corpus: DataFrame, prev: DataFrame, props: dict
+    ) -> dict:
+        from crawler_spark.operators import corpus_dedup
+        from crawler_spark.queries import md5h
+
+        st = self.store
+        new_rows = (
+            corpus.join(prev.select("image_id"), "image_id", "left_anti")
+            .select(
+                "image_id", "phash", "caption",
+                (F.col("w").cast("long") * F.col("h")).alias("area"),
+            )
+            .withColumn("img", md5h("image_id"))
+            .persist()
+        )
+        if new_rows.limit(1).count() == 0:
+            # nothing new: zero commits, zero bucket rewrites — the CoW
+            # payoff (the tick counter only advances with real work)
+            new_rows.unpersist()
+            return {"mode": "incremental", "new_images": 0, "pairs": 0,
+                    "posting_buckets_read": 0, "changed": 0, "removed": 0}
+        upserts, postings, stats = corpus_dedup.incremental_cluster_step(
+            st, new_rows, prev
+        )
+        stats["removed"] = 0  # stale sidecar rows force the full path
+        merge_plans = {
+            "corpus_bands": st.plan_merge(
+                "corpus_bands", upsert=postings, key=["bh", "band", "k1", "img"]
+            )
+        }
+        if stats["changed"]:
+            merge_plans["corpus_clusters"] = st.plan_merge(
+                "corpus_clusters", upsert=upserts, key="image_id"
+            )
+        st.commit({}, properties=props, merge=merge_plans)
+        new_rows.unpersist()
         return stats
 
     def apply_blacklist(self, url_hashes: list[int]) -> dict:
@@ -515,6 +614,18 @@ class CrawlScheduler:
             "corpus": st.plan_merge("corpus", delete=doomed_imgs, delete_key="image_id"),
             "corpus_clusters": st.plan_merge(
                 "corpus_clusters", delete=doomed_imgs, delete_key="image_id"
+            ),
+            # dead posting rows would otherwise let a later INCREMENTAL
+            # dedup fold route edges through blacklisted images. img
+            # can't derive the bh bucket, so this cascade pays a full
+            # pass over corpus_bands (same documented trade as metrics)
+            "corpus_bands": st.plan_merge(
+                "corpus_bands",
+                delete=doomed_imgs.select(
+                    F.conv(F.substring(F.md5("image_id"), 1, 15), 16, 10)
+                    .cast("long").alias("img")
+                ),
+                delete_key="img",
             ),
             "seen": seen_plan,
         }

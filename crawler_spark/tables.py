@@ -72,6 +72,10 @@ def crawl_bucket_spec(n_shards: int = 16, n_buckets: int = 16) -> dict:
         # near-dup cluster sidecar, bucketed identically to corpus so the
         # maintenance merge co-locates with the rows it annotates
         "corpus_clusters": {"mode": "hash", "key": "image_id", "n": n_buckets},
+        # LSH-band postings for incremental corpus dedup: bucketed by the
+        # band bucket key, so a batch's candidate lookup reads ONLY the
+        # buckets its new bands hash into
+        "corpus_bands": {"mode": "hash", "key": "bh", "n": n_buckets},
         "items": {"mode": "hash", "key": "url_hash", "n": n_buckets},
         "metrics_daily": {"mode": "value", "key": "yyyymmdd"},
     }

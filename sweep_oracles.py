@@ -50,7 +50,17 @@ def main() -> int:
             bad.append((name, "values: " + str(e).splitlines()[0]))
         except Exception as e:  # noqa: BLE001 - report and keep sweeping
             bad.append((name, f"{type(e).__name__}: {e}"))
-    print(f"\nVACUOUS at {sf}:", vac)
+    # cache hygiene (VERDICT r02 #6): a full-registry sweep must end with
+    # ZERO cached RDD blocks once tracked persists are released
+    from crawler_spark.queries import cleanup_caches
+
+    cleanup_caches()
+    cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+    print(f"\ncached RDDs after cleanup_caches(): {cached}")
+    if cached:
+        bad.append(("cache_hygiene", f"{cached} cached RDDs leaked"))
+
+    print(f"VACUOUS at {sf}:", vac)
     print("FAILURES:", len(bad))
     for n, msg in bad:
         print("FAIL ", n, "--", msg[:300])

@@ -103,6 +103,65 @@ def test_second_pass_is_incremental_noop(crawled):
     assert crawled.store.snapshot_id == sid
 
 
+def test_incremental_fold_matches_full_recompute(spark, tmp_path_factory):
+    """Steady-state maintenance folds ONLY the new images into persisted
+    cluster state via the corpus_bands posting table; after any number of
+    incremental ticks the sidecar must be BIT-IDENTICAL to clustering the
+    whole corpus at once (and the posting table identical to a from-
+    scratch rebuild)."""
+    from crawler_spark.operators import corpus_dedup
+    from crawler_spark.queries import md5h
+
+    root = str(tmp_path_factory.mktemp("incdedup"))
+    eng = CrawlScheduler(
+        spark, root, use_sketch=False, lineage_hashes=False,
+        full_dedup_every=0, **PARAMS,
+    )
+    eng.run(2)
+    s1 = eng.dedup_corpus(mode="auto")
+    assert s1["mode"] == "full"  # first tick: no postings yet
+    # full_dedup_every=0 means "always full" under auto — force the
+    # incremental path explicitly for the equivalence check
+    for _ in range(2):
+        eng.run(1)
+        s = eng.dedup_corpus(mode="incremental")
+        assert s["mode"] == "incremental"
+        assert s["new_images"] > 0, "batch crawled no new images"
+        assert s["posting_buckets_read"] <= 16
+
+    corpus = eng.store.read("corpus").select(
+        "image_id", "phash", "caption", "w", "h")
+    want = {(r["image_id"], r["cluster_id"], r["canonical"])
+            for r in corpus_dedup.cluster_corpus(corpus).collect()}
+    got = {(r["image_id"], r["cluster_id"], r["canonical"])
+           for r in eng.store.read("corpus_clusters").collect()}
+    assert got == want
+
+    # posting table == from-scratch rebuild (maintenance appended exactly
+    # the new images' band rows)
+    base = corpus.select(md5h("image_id").alias("img"), "phash", "caption")
+    want_bands = {tuple(r) for r in corpus_dedup.corpus_band_rows(base).collect()}
+    got_bands = {tuple(r) for r in eng.store.read("corpus_bands").collect()}
+    assert got_bands == want_bands
+
+
+def test_full_dedup_every_corrector_cadence(spark, tmp_path_factory):
+    """auto mode: first tick full (no postings), steady-state incremental,
+    every full_dedup_every-th tick the full corrector."""
+    root = str(tmp_path_factory.mktemp("cadence"))
+    eng = CrawlScheduler(
+        spark, root, use_sketch=False, lineage_hashes=False,
+        full_dedup_every=2, **PARAMS,
+    )
+    modes = []
+    for _ in range(3):
+        eng.run(1)
+        modes.append(eng.dedup_corpus()["mode"])
+    # tick 0: no postings -> full; tick 1: (1+1)%2==0 -> full corrector;
+    # tick 2: incremental
+    assert modes == ["full", "full", "incremental"]
+
+
 def test_cascade_delete_cleans_sidecar(crawled):
     """Blacklisting a corpus URL removes its sidecar row atomically with
     the corpus row (no orphaned cluster assignments)."""
