@@ -657,3 +657,121 @@ def q_semdedup_cells(spark, sf_dir):
         .agg(F.min("vec_a").alias("dup_of"))
         .select(F.col("vec_b").alias("vec_id"), "dup_of")
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (ADC — asymmetric distance computation)
+# ---------------------------------------------------------------------------
+# The 100 TB vector-compression path IVF/LSH don't cover: each 64-dim
+# embedding is split into 4 subspaces of 16 dims; every subspace is
+# quantized to the nearest of 8 seeded centroids, so a vector stores as
+# 4 small codes (4 bytes) instead of 256 float bytes. A query computes a
+# 4x8 lookup table of exact subspace distances ONCE, then scores any
+# candidate with 4 table lookups + 3 adds — no float vector math per row,
+# and the codes table is ~64x smaller than the raw embeddings (the scan
+# that matters at 10^10 vectors). Codes assign by argmin of squared L2
+# (first-occurrence tiebreak — identical semantics in Spark
+# array_position and DuckDB array_position, the knn_ivf_topk precedent).
+
+_PQ_SUBS = 4
+_PQ_DIM = 16
+_PQ_K = 8
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    rng = np.random.default_rng(11)
+    return [
+        [[round(float(x), 6) for x in rng.standard_normal(_PQ_DIM)]
+         for _ in range(_PQ_K)]
+        for _ in range(_PQ_SUBS)
+    ]
+
+
+_PQ_CODEBOOKS = _pq_codebooks()
+
+
+def _pq_sqdist_sql(sub_expr: str, cent: list[float]) -> str:
+    c = ", ".join(f"{v}::DOUBLE" for v in cent)
+    return (
+        "list_sum(list_transform(list_zip({s}, [{c}]), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    ).format(s=sub_expr, c=c)
+
+
+def _pq_sub_sql(s: int) -> str:
+    lo = s * _PQ_DIM + 1
+    return f"embedding[{lo}:{lo + _PQ_DIM - 1}]"
+
+
+_pq_dist_arrays_sql = ", ".join(
+    "[{dists}] AS d{s}".format(
+        s=s,
+        dists=", ".join(_pq_sqdist_sql(_pq_sub_sql(s), cent)
+                        for cent in _PQ_CODEBOOKS[s]),
+    )
+    for s in range(_PQ_SUBS)
+)
+_pq_codes_sql = ", ".join(
+    f"array_position(d{s}, list_min(d{s})) AS c{s}" for s in range(_PQ_SUBS)
+)
+_pq_adc_sql = " + ".join(f"q.d{s}[c.c{s}]" for s in range(_PQ_SUBS))
+
+_PQ_SQL = """
+    WITH dists AS (
+      SELECT vec_id, {dist_arrays} FROM embeddings
+    ),
+    codes AS (SELECT vec_id, {codes} FROM dists),
+    q AS (SELECT * FROM dists WHERE vec_id = 0)
+    SELECT c.vec_id, round(1e-9 + {adc}, 4) AS adc_dist
+    FROM codes c, q
+    WHERE c.vec_id != 0
+    ORDER BY round(1e-9 + {adc}, 4) ASC, c.vec_id ASC
+    LIMIT 5
+""".format(dist_arrays=_pq_dist_arrays_sql, codes=_pq_codes_sql, adc=_pq_adc_sql)
+
+
+@register("knn_pq_adc_topk", _PQ_SQL)
+def q_knn_pq_adc_topk(spark, sf_dir):
+    """PQ-compressed top-5 nearest neighbours of the query vector
+    (vec_id 0) by ADC: candidates are scored from their 4 subspace codes
+    against the query's per-subspace distance table (broadcast, one row).
+    All JVM-side array math; the rank is TakeOrderedAndProject over the
+    rounded distance with a vec_id tiebreak."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def sqdist(sub, cent):
+        return dsum(F.zip_with(
+            sub, F.array(*[F.lit(v) for v in cent]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ))
+
+    def dist_array(s: int):
+        sub = F.slice("embedding", s * _PQ_DIM + 1, _PQ_DIM)
+        return F.array(*[sqdist(sub, cent) for cent in _PQ_CODEBOOKS[s]])
+
+    dists = emb.select(
+        "vec_id", *[dist_array(s).alias(f"d{s}") for s in range(_PQ_SUBS)]
+    )
+    codes = dists.select(
+        "vec_id",
+        *[F.array_position(F.col(f"d{s}"), F.array_min(f"d{s}")).alias(f"c{s}")
+          for s in range(_PQ_SUBS)],
+    )
+    q = dists.filter(F.col("vec_id") == 0).select(
+        *[F.col(f"d{s}").alias(f"qd{s}") for s in range(_PQ_SUBS)]
+    )
+    adc = sum(
+        (F.element_at(f"qd{s}", F.col(f"c{s}").cast("int"))
+         for s in range(_PQ_SUBS)),
+        start=F.lit(0.0),
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(adc + F.lit(1e-9), 4).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )

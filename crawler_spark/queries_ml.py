@@ -722,3 +722,71 @@ def q_text_repetition_filter(spark, sf_dir):
         (F.col("dup_word_frac") <= F.lit(_REP_DUP_MAX))
         & (F.col("top_bigram_frac") <= F.lit(_REP_TOP_MAX)),
     )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms (lexical weighting for corpus analytics / retrieval)
+# ---------------------------------------------------------------------------
+# tf = term count / doc length, idf = ln((N+1)/(df+1)) (smoothed). The idf
+# table is a term-keyed agg with map-side combine; at 100 TB it is
+# vocabulary-sized — tiny next to the corpus — so the tf<-idf join
+# broadcasts (AQE sizes it at runtime). The per-doc top-3 window shuffles
+# once on doc_id. Cross-engine float discipline: idf is ROUNDED before it
+# multiplies tf (Java Math.log and libm log can differ in the last ulp),
+# and the rank orders by the rounded score with a term-asc tiebreak.
+
+_TFIDF_SQL = """
+    WITH w AS (SELECT doc_id, {words} AS ws FROM documents),
+    t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, dl, term, count(*) AS c
+           FROM t GROUP BY doc_id, dl, term),
+    df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(1e-9 + (tf.c * 1.0 / tf.dl)
+                   * round(1e-9 + ln((n.nd + 1.0) / (df.dfreq + 1.0)), 6),
+                   6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored) WHERE rank <= 3
+""".format(words=WORDS_SQL.format(x="text"))
+
+
+@register("text_tfidf_topk", _TFIDF_SQL)
+def q_text_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 tf-idf terms (same tokenizer as every text
+    query). Two-level aggs with map-side combine build tf and df; the
+    broadcast-sized idf dim joins back on term; one doc_id window ranks.
+    All JVM-side — no EvalPython."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    t = w.select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term"))
+    tf = t.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("c"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    idf = F.round(
+        F.log((F.col("nd") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0)))
+        + F.lit(1e-9),
+        6,
+    )
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "term",
+            F.round((F.col("c") / F.col("dl")) * idf + F.lit(1e-9), 6).alias("tfidf"),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

@@ -121,6 +121,7 @@ _JVM_ONLY = [
     "json_props_parse", "training_corpus_select", "image_phash_neardup",
     "knn_ann_indexed_topk", "knn_ivf_indexed_topk", "dedup_minhash_indexed",
     "text_repetition_filter", "semdedup_cells", "knn_ann_multiprobe_topk",
+    "text_tfidf_topk", "knn_pq_adc_topk",
 ]
 
 
