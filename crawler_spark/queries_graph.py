@@ -20,7 +20,7 @@ per doc.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.queries import _t, add_cleanup_hook, md5h, register, track_persist
@@ -434,3 +434,116 @@ def q_training_corpus_select(spark, sf_dir):
         .filter(h < rate)
         .select("doc_id", "lang", "quality", "n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-graph PageRank (crawl prioritization over the link graph)
+# ---------------------------------------------------------------------------
+# A frontier scheduler at web scale ranks HOSTS by link authority to set
+# crawl priority (the reference hard-codes per-channel priority,
+# channel_repo.rs:74-108; a 10^10-URL frontier derives it from the link
+# graph instead). Deterministic host graph from the testdata: edge
+# (l_suppkey % H) -> (l_partkey % H) weighted by row count, self-loops
+# dropped, out-weights normalized per source. Fixed-iteration weighted
+# PageRank, damping 0.85.
+#
+# Scale shape: the host graph is millions of nodes — tiny next to the
+# corpus — so edges persist once and each of the K iterations is ONE
+# shuffle join (ranks x edges on src) plus one agg (on dst) with map-side
+# combine. Ranks are vertex-sized; the dangling-mass simplification
+# (dropped, standard for crawl prioritization) keeps the step linear.
+#
+# Cross-engine float discipline: edge weights w/out are exact IEEE
+# divisions of integers (identical both engines); the only
+# order-sensitive op is the per-dst SUM of contributions, so each
+# iteration rounds the new rank to 9 decimals (1e-12 nudge) — both
+# engines re-enter the next iteration from identical inputs and last-ulp
+# sum differences cannot compound.
+
+_PR_HOSTS = 256
+_PR_ITERS = 5
+_PR_D = 0.85
+
+
+def _pr_iter_sql(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+    r{k} AS (
+      SELECT nodes.host,
+             round(1e-12 + ((1.0 - {_PR_D}) / n.nn
+                   + {_PR_D} * coalesce(c.s, 0.0)), 9) AS r
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.dst AS host, sum(p.r * e.wn) AS s
+        FROM e JOIN {prev} p ON p.host = e.src GROUP BY e.dst
+      ) c USING (host)
+    )"""
+
+
+_PAGERANK_SQL = """
+    WITH e0 AS (
+      SELECT l_suppkey % {h} AS src, l_partkey % {h} AS dst, count(*) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT src AS host FROM e0
+              UNION SELECT DISTINCT dst FROM e0),
+    n AS (SELECT count(*) AS nn FROM nodes),
+    e AS (
+      SELECT src, dst,
+             w * 1.0 / sum(w) OVER (PARTITION BY src) AS wn
+      FROM e0 WHERE src <> dst
+    ),
+    r0 AS (SELECT host, 1.0 / n.nn AS r FROM nodes CROSS JOIN n),
+    {iters}
+    SELECT host, round(r + 1e-9, 6) AS pagerank FROM r{last}
+""".format(
+    h=_PR_HOSTS,
+    iters=",".join(_pr_iter_sql(k) for k in range(1, _PR_ITERS + 1)).lstrip(",\n "),
+    last=_PR_ITERS,
+)
+
+
+@register("host_pagerank", _PAGERANK_SQL)
+def q_host_pagerank(spark, sf_dir):
+    """Fixed-iteration weighted PageRank over the derived host graph.
+    Edges persist across iterations (released by cleanup_caches); each
+    iteration is one join + one agg, all JVM-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            (F.col("l_suppkey") % _PR_HOSTS).alias("src"),
+            (F.col("l_partkey") % _PR_HOSTS).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = track_persist(
+        e0.select(F.col("src").alias("host"))
+        .union(e0.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    nn = nodes.count()  # vertex count: bounded by _PR_HOSTS, driver-safe
+    wsum = Window.partitionBy("src")
+    e = track_persist(
+        e0.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", (F.col("w") / F.sum("w").over(wsum)).alias("wn")
+        )
+    )
+    ranks = nodes.select("host", (F.lit(1.0) / F.lit(float(nn))).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(ranks, e.src == ranks.host)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("wn")).alias("s"))
+            .withColumnRenamed("dst", "host")
+        )
+        ranks = nodes.join(contrib, "host", "left").select(
+            "host",
+            F.round(
+                F.lit((1.0 - _PR_D) / nn)
+                + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                + F.lit(1e-12),
+                9,
+            ).alias("r"),
+        )
+    return ranks.select("host", F.round(F.col("r") + F.lit(1e-9), 6).alias("pagerank"))

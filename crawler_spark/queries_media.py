@@ -32,8 +32,8 @@ from pyspark.sql.types import (
 )
 
 from crawler_spark import kernels
-from crawler_spark.queries import _t, register
-from crawler_spark.queries_ml import _PLANES, _bucket_terms_sql
+from crawler_spark.queries import MD5H_SQL, _t, md5h, register
+from crawler_spark.queries_ml import _PLANES, WORDS_SQL, _bucket_terms_sql
 
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicates (oracle-checked)
@@ -774,4 +774,166 @@ def q_knn_pq_adc_topk(spark, sf_dir):
         .select("vec_id", F.round(adc + F.lit(1e-9), 4).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed ANN (the FAISS IVFPQ shape: cell prune, then ADC)
+# ---------------------------------------------------------------------------
+# The two scale levers composed the way a 10^10-vector index actually
+# runs: the coarse quantizer prunes the scan to 1/cells of the corpus
+# (cell is the partition key), then candidates are scored from their
+# 4-byte PQ codes against the query's per-subspace distance table — the
+# probe reads ~1/cells of a codes table that is itself ~64x smaller than
+# the raw embeddings. Reuses knn_ivf_topk's seeded centroids and
+# knn_pq_adc_topk's codebooks, so each piece's single-lever baseline
+# stays checked alongside this composition.
+
+_IVFPQ_SQL = """
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             array_position(d, list_max(d)) AS cell
+      FROM (SELECT vec_id, embedding, [{dots}] AS d FROM embeddings)
+    ),
+    dists AS (
+      SELECT vec_id, cell, {dist_arrays} FROM cells
+    ),
+    codes AS (SELECT vec_id, cell, {codes} FROM dists),
+    q AS (SELECT * FROM dists WHERE vec_id = 0)
+    SELECT c.vec_id, round(1e-9 + {adc}, 4) AS adc_dist
+    FROM codes c, q
+    WHERE c.cell = q.cell AND c.vec_id != 0
+    ORDER BY round(1e-9 + {adc}, 4) ASC, c.vec_id ASC
+    LIMIT 5
+""".format(dots=_cell_dots_sql, dist_arrays=_pq_dist_arrays_sql,
+           codes=_pq_codes_sql, adc=_pq_adc_sql)
+
+
+@register("knn_ivfpq_topk", _IVFPQ_SQL)
+def q_knn_ivfpq_topk(spark, sf_dir):
+    """IVF cell prune + PQ-ADC rescore in one plan: candidates sharing
+    the query's coarse cell are scored from their subspace codes against
+    the query's broadcast distance table. All JVM-side array math."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    cell_dots = F.array(*[
+        dsum(F.zip_with("embedding", F.array(*[F.lit(v) for v in cent]),
+                        lambda a, b: a.cast("double") * b))
+        for cent in _CENTROIDS
+    ])
+
+    def sqdist(sub, cent):
+        return dsum(F.zip_with(
+            sub, F.array(*[F.lit(v) for v in cent]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ))
+
+    def dist_array(s: int):
+        sub = F.slice("embedding", s * _PQ_DIM + 1, _PQ_DIM)
+        return F.array(*[sqdist(sub, cent) for cent in _PQ_CODEBOOKS[s]])
+
+    dists = emb.select(
+        "vec_id",
+        F.array_position(cell_dots, F.array_max(cell_dots)).alias("cell"),
+        *[dist_array(s).alias(f"d{s}") for s in range(_PQ_SUBS)],
+    )
+    codes = dists.select(
+        "vec_id", "cell",
+        *[F.array_position(F.col(f"d{s}"), F.array_min(f"d{s}")).alias(f"c{s}")
+          for s in range(_PQ_SUBS)],
+    )
+    q = dists.filter(F.col("vec_id") == 0).select(
+        F.col("cell").alias("qc"),
+        *[F.col(f"d{s}").alias(f"qd{s}") for s in range(_PQ_SUBS)],
+    )
+    adc = sum(
+        (F.element_at(f"qd{s}", F.col(f"c{s}").cast("int"))
+         for s in range(_PQ_SUBS)),
+        start=F.lit(0.0),
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qc")) & (F.col("vec_id") != 0))
+        .select("vec_id", F.round(adc + F.lit(1e-9), 4).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image-caption pair gate (LAION-style catalog-metadata filtering)
+# ---------------------------------------------------------------------------
+# The first multimodal-corpus pass runs on CATALOG columns only — width,
+# height, format, caption — touching no image bytes (LAION-400M/5B kept
+# ~min-side, aspect-ratio and caption-length gates before any decode).
+# The metadata here is the deterministic md5-derived stand-in for the
+# input_hint table's (image_id, w, h, fmt, caption) columns; captions are
+# the documents' text.
+#
+# Scale shape: a pure projected scan — row-local arithmetic, zero
+# shuffles, zero joins; the predicate evaluates in whole-stage codegen
+# directly over the pruned (doc_id, text) columns. At 10^10 pairs this
+# is the filter you want pushed closest to the scan; everything
+# downstream (decode, phash dedup, CLIP scoring) runs on its survivors.
+
+_ICF_MIN_SIDE = 128
+_ICF_MAX_ASPECT = 2.0
+_ICF_MIN_TOK = 5
+_ICF_MAX_TOK = 80
+
+_ICF_SQL = """
+    WITH meta AS (
+      SELECT 'img-' || doc_id::VARCHAR AS image_id,
+             64 + ({wh} % 961) AS w,
+             64 + ({hh} % 961) AS h,
+             len({words}) AS n_tok
+      FROM documents
+    )
+    SELECT image_id, w, h,
+           round(1e-9 + greatest(w, h) * 1.0 / least(w, h), 4) AS aspect,
+           n_tok,
+           (least(w, h) >= {ms}) AS keep_size,
+           (round(1e-9 + greatest(w, h) * 1.0 / least(w, h), 4) <= {ma})
+             AS keep_aspect,
+           (n_tok BETWEEN {lo} AND {hi}) AS keep_caption,
+           ((least(w, h) >= {ms})
+            AND (round(1e-9 + greatest(w, h) * 1.0 / least(w, h), 4) <= {ma})
+            AND (n_tok BETWEEN {lo} AND {hi})) AS keep
+    FROM meta
+""".format(
+    wh=MD5H_SQL.format(x="'img-' || doc_id::VARCHAR || ':w'"),
+    hh=MD5H_SQL.format(x="'img-' || doc_id::VARCHAR || ':h'"),
+    words=WORDS_SQL.format(x="text"),
+    ms=_ICF_MIN_SIDE, ma=_ICF_MAX_ASPECT, lo=_ICF_MIN_TOK, hi=_ICF_MAX_TOK,
+)
+
+
+@register("image_caption_filter", _ICF_SQL)
+def q_image_caption_filter(spark, sf_dir):
+    """LAION-style image-caption pair gate over catalog metadata: min-side,
+    aspect-ratio and caption-token-count predicates, all row-local in one
+    projected scan (no shuffle, no join, no EvalPython)."""
+    docs = _t(spark, sf_dir, "documents")
+    image_id = F.concat(F.lit("img-"), F.col("doc_id").cast("string"))
+    w = F.lit(64) + (md5h(F.concat(image_id, F.lit(":w"))) % 961)
+    h = F.lit(64) + (md5h(F.concat(image_id, F.lit(":h"))) % 961)
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    m = docs.select(
+        image_id.alias("image_id"), w.alias("w"), h.alias("h"),
+        n_tok.alias("n_tok"),
+    )
+    aspect = F.round(
+        F.greatest("w", "h") / F.least("w", "h") + F.lit(1e-9), 4
+    )
+    keep_size = F.least("w", "h") >= _ICF_MIN_SIDE
+    keep_caption = (F.col("n_tok") >= _ICF_MIN_TOK) & (F.col("n_tok") <= _ICF_MAX_TOK)
+    return m.select(
+        "image_id", "w", "h", aspect.alias("aspect"), "n_tok",
+        keep_size.alias("keep_size"),
+        (aspect <= _ICF_MAX_ASPECT).alias("keep_aspect"),
+        keep_caption.alias("keep_caption"),
+        (keep_size & (aspect <= _ICF_MAX_ASPECT) & keep_caption).alias("keep"),
     )

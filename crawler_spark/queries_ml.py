@@ -790,3 +790,302 @@ def q_text_tfidf_topk(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram duplication fraction (corpus-level dedup scoring)
+# ---------------------------------------------------------------------------
+# RefinedWeb/Dolma-style "fraction of a document already seen elsewhere":
+# for each doc, the share of its DISTINCT 5-gram hashes that occur in >= 2
+# documents. Unlike dedup_jaccard_pairs (pairwise) or
+# text_repetition_filter (within-doc), this scores each doc against the
+# WHOLE corpus without materializing any pairs — the scalable first-pass
+# gate before pairwise near-dup machinery runs.
+#
+# Scale shape: grams are hashed inside the row (8-byte longs explode, not
+# strings) and dedup'd row-locally with array_distinct (no distinct
+# shuffle); the gram doc-frequency agg has map-side combine; the grams<-df
+# join keys both sides on g_h so the agg's exchange is reused. Two
+# shuffles total, both on the 60-bit gram hash — uniform keys, no skew.
+
+_CROSSDOC_DUP_MAX = 0.5  # keep docs whose corpus-duplicated share is <= 50%
+
+_CROSSDOC_SQL = """
+    WITH g AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS g_h
+      FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)
+    ),
+    dfq AS (SELECT g_h, count(*) AS dfreq FROM g GROUP BY g_h)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           round(1e-9 + sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_frac,
+           (round(1e-9 + sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) <= {cap}) AS keep
+    FROM g JOIN dfq USING (g_h)
+    GROUP BY doc_id
+""".format(shingles=_shingles_sql("text", 5), cap=_CROSSDOC_DUP_MAX)
+
+
+@register("dedup_crossdoc_ngram", _CROSSDOC_SQL)
+def q_dedup_crossdoc_ngram(spark, sf_dir):
+    """Per-doc corpus-duplication fraction over 5-gram hashes; keep flag
+    from the ROUNDED fraction (cross-engine float discipline). All
+    JVM-side — no EvalPython."""
+    docs = _docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(_shingles(F.col("text"), 5), md5h))
+        ).alias("g_h"),
+    )
+    dfq = g.groupBy("g_h").agg(F.count(F.lit(1)).alias("dfreq"))
+    frac = F.round(
+        F.sum((F.col("dfreq") >= 2).cast("long")) / F.count(F.lit(1))
+        + F.lit(1e-9),
+        4,
+    )
+    return (
+        g.join(dfq, "g_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("dfreq") >= 2).cast("long")).alias("n_shared"),
+            frac.alias("dup_frac"),
+        )
+        .withColumn("keep", F.col("dup_frac") <= F.lit(_CROSSDOC_DUP_MAX))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+# Before training, every doc is checked for verbatim overlap with the
+# held-out evaluation set (GPT-3/PaLM-style n-gram decontamination). The
+# eval set here is the deterministic doc_id % 97 == 0 slice standing in
+# for a benchmark suite; overlap unit is the 3-word shingle hash.
+#
+# Scale shape: benchmark gram sets are tiny next to the corpus (~10^6
+# grams vs 10^10 docs), so the eval grams BROADCAST and the corpus side
+# never shuffles for the probe — grams are hashed and dedup'd row-locally
+# (array_distinct, no distinct shuffle), the broadcast hash join marks
+# hits, and the only shuffle is the per-doc hit count on uniform doc_id
+# keys. The final left join keeps zero-hit docs without a second scan
+# shape (both sides are doc_id-keyed).
+
+_DECON_EVAL_MOD = 97
+
+
+_DECON_SQL = """
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % {m} != 0),
+    g AS (
+      SELECT DISTINCT doc_id, {h} AS g_h
+      FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM train)
+    ),
+    eg AS (
+      SELECT DISTINCT {h} AS g_h
+      FROM (SELECT unnest({shingles}) AS shingle
+            FROM documents WHERE doc_id % {m} = 0)
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits FROM g JOIN eg USING (g_h)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           (coalesce(h.n_hits, 0) > 0) AS contaminated
+    FROM train t LEFT JOIN hits h USING (doc_id)
+""".format(m=_DECON_EVAL_MOD, h=MD5H_SQL.format(x="shingle"),
+           shingles=_shingles_sql("text"))
+
+
+@register("decontaminate_ngram", _DECON_SQL)
+def q_decontaminate_ngram(spark, sf_dir):
+    """Per-doc eval-set contamination: count of 3-gram hashes shared with
+    the broadcast benchmark gram set; zero-hit docs kept with a clean
+    flag. All JVM-side — no EvalPython."""
+    docs = _docs(spark, sf_dir)
+    grams = F.explode(
+        F.array_distinct(F.transform(_shingles(F.col("text")), md5h))
+    ).alias("g_h")
+    train = docs.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    g = train.select("doc_id", grams)
+    eg = (
+        docs.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select(grams)
+        .distinct()
+    )
+    hits = (
+        g.join(F.broadcast(eg), "g_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (model-based filtering)
+# ---------------------------------------------------------------------------
+# The fastText-shaped quality gate every production corpus runs (CCNet /
+# LLaMA wiki-ref classifier): bag-of-words -> hashing trick into _QC_BUCKETS
+# features -> linear model -> sigmoid. The "model" is a deterministic
+# md5-derived weight per bucket so both engines reproduce it bit-for-bit;
+# in production the weights are a broadcast dim exactly like the idf table
+# in text_tfidf_topk.
+#
+# Scale shape: one two-level agg (doc_id, bucket) with map-side combine,
+# then a per-doc sum — the corpus shuffles once on doc_id. Weights live
+# in the expression (at 10^5+ features they'd be a broadcast join). Float
+# discipline: each bucket contribution is an exact small-int ratio times
+# an exact 3dp weight; the per-doc sum is <= _QC_BUCKETS terms rounded at
+# 6dp after the sigmoid (1e-9 nudge), the pagerank precedent.
+
+_QC_BUCKETS = 64
+
+
+def _qc_weight_sql(b: str) -> str:
+    h = MD5H_SQL.format(x=f"'w' || ({b})::VARCHAR")
+    return f"(({h}) % 2001 - 1000) / 1000.0"
+
+
+_QC_SQL = """
+    WITH toks AS (
+      SELECT doc_id, ({h}) % {nb} AS bucket, count(*) AS tf,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS n_words
+      FROM (SELECT doc_id, unnest({words}) AS tok FROM documents)
+      GROUP BY doc_id, ({h}) % {nb}
+    )
+    SELECT doc_id,
+           round(1e-9 + 1.0 / (1.0 + exp(-sum((tf * 1.0 / n_words) * ({w})))), 6)
+             AS score,
+           (round(1e-9 + 1.0 / (1.0 + exp(-sum((tf * 1.0 / n_words) * ({w})))), 6)
+             >= 0.5) AS keep
+    FROM toks GROUP BY doc_id
+""".format(h=MD5H_SQL.format(x="tok"), nb=_QC_BUCKETS,
+           words=WORDS_SQL.format(x="text"), w=_qc_weight_sql("bucket"))
+
+
+@register("quality_classifier_score", _QC_SQL)
+def q_quality_classifier_score(spark, sf_dir):
+    """Hashing-trick linear classifier score + keep gate per doc (the
+    model-based quality filter). All JVM-side — no EvalPython."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("tok")
+    ).select("doc_id", (md5h(F.col("tok")) % _QC_BUCKETS).alias("bucket"))
+    tf = (
+        toks.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("n_words", F.sum("tf").over(Window.partitionBy("doc_id")))
+    )
+    w = (
+        (md5h(F.concat(F.lit("w"), F.col("bucket").cast("string"))) % 2001)
+        - 1000
+    ) / 1000.0
+    contrib = (F.col("tf") / F.col("n_words")) * w
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.sum(contrib))) + F.lit(1e-9), 6
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(score.alias("score"))
+        .withColumn("keep", F.col("score") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level corpus dedup (CCNet-style duplicate-paragraph removal)
+# ---------------------------------------------------------------------------
+# CCNet/Dolma drop every PARAGRAPH whose hash occurs more than once in
+# the corpus, then stitch the survivors back into the document — finer
+# than doc-level near-dup (kills boilerplate headers/footers that n-gram
+# doc scoring only dilutes). Paragraph stand-in: consecutive 10-word
+# chunks (the testdata has no newlines); hash unit is the 60-bit md5
+# prefix.
+#
+# Scale shape: chunk hashes explode as longs; the corpus-frequency agg
+# has map-side combine on uniform 60-bit keys; the per-doc reassembly
+# groups on doc_id carrying (pos, chunk) structs so order survives the
+# shuffle without a window. Reassembled text is returned as an md5
+# checksum, not the string — at 100 TB the stitched text goes straight
+# to the sink, never through a driver-visible column.
+
+_PARA_W = 10
+
+
+def _chunks_sql(x: str) -> str:
+    w = WORDS_SQL.format(x=x)
+    return (
+        "list_transform(range(1, greatest((len({w}) + {k} - 1) // {k}, 1) + 1), "
+        "i -> array_to_string(({w})[(i - 1) * {k} + 1 : i * {k}], ' '))"
+    ).format(w=w, k=_PARA_W)
+
+
+_PARA_SQL = """
+    WITH c AS (
+      SELECT doc_id, i AS pos, chunks[i] AS chunk
+      FROM (SELECT doc_id, {chunks} AS chunks FROM documents),
+           LATERAL unnest(range(1, len(chunks) + 1)) AS t(i)
+    ),
+    freq AS (
+      SELECT {h} AS c_h, count(*) AS n FROM c GROUP BY 1
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+           md5(coalesce(string_agg(CASE WHEN n < 2 THEN chunk END,
+                                   ' ' ORDER BY pos), '')) AS kept_text_md5
+    FROM c JOIN freq ON ({h}) = c_h
+    GROUP BY doc_id
+""".format(chunks=_chunks_sql("text"), h=MD5H_SQL.format(x="chunk"))
+
+
+def _chunks(col):
+    w = _words(col)
+    n = F.greatest(F.ceil(F.size(w) / _PARA_W).cast("int"), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * _PARA_W + 1, _PARA_W)),
+    )
+
+
+@register("dedup_paragraphs", _PARA_SQL)
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-level duplicate-paragraph removal: per doc, paragraph count,
+    dropped-count, and the md5 of the stitched-together surviving text
+    (order-preserving reassembly). All JVM-side — no EvalPython."""
+    docs = _docs(spark, sf_dir)
+    c = docs.select(
+        "doc_id", F.posexplode(_chunks(F.col("text"))).alias("pos0", "chunk")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "chunk",
+             md5h(F.col("chunk")).alias("c_h"))
+    freq = c.groupBy("c_h").agg(F.count(F.lit(1)).alias("n"))
+    kept = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("n") < 2, F.struct("pos", "chunk"))
+                )
+            ),
+            lambda s: s.chunk,
+        ),
+    )
+    return (
+        c.join(freq, "c_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((F.col("n") >= 2).cast("long")).alias("n_dropped"),
+            F.md5(kept).alias("kept_text_md5"),
+        )
+    )

@@ -121,7 +121,9 @@ _JVM_ONLY = [
     "json_props_parse", "training_corpus_select", "image_phash_neardup",
     "knn_ann_indexed_topk", "knn_ivf_indexed_topk", "dedup_minhash_indexed",
     "text_repetition_filter", "semdedup_cells", "knn_ann_multiprobe_topk",
-    "text_tfidf_topk", "knn_pq_adc_topk",
+    "text_tfidf_topk", "knn_pq_adc_topk", "dedup_crossdoc_ngram",
+    "host_pagerank", "decontaminate_ngram", "quality_classifier_score",
+    "dedup_paragraphs", "knn_ivfpq_topk", "image_caption_filter",
 ]
 
 
