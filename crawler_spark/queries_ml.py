@@ -1089,3 +1089,70 @@ def q_dedup_paragraphs(spark, sf_dir):
             F.md5(kept).alias("kept_text_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus funnel (every text gate chained, with per-stage attrition)
+# ---------------------------------------------------------------------------
+# The report a corpus run actually publishes: how many docs survive each
+# gate, in order — decontamination -> repetition filter -> model-based
+# quality gate -> paragraph-dedup retention. Both layers COMPOSE the
+# registered pieces (the Spark side joins the four query DataFrames, the
+# oracle nests the four oracle SQLs as CTEs), so this stays in lockstep
+# with each gate's own checked definition by construction.
+#
+# Scale shape: four doc_id-keyed sides join on uniform keys into one
+# 5-counter agg (map-side combine makes the final agg a single row per
+# task). Each gate scans the corpus once here; a production run fuses
+# the row-local gates into one pass — the funnel's join shape is what
+# matters (flags meet on doc_id, counters reduce to one row).
+
+_FUNNEL_PARA_MAX = 0.5
+
+_FUNNEL_SQL = """
+    WITH d AS ({decon}),
+    r AS ({rep}),
+    c AS ({cls}),
+    p AS ({para})
+    SELECT count(*)::BIGINT AS n_train,
+           sum(CASE WHEN NOT d.contaminated THEN 1 ELSE 0 END)::BIGINT
+             AS n_decontaminated,
+           sum(CASE WHEN NOT d.contaminated AND r.keep
+               THEN 1 ELSE 0 END)::BIGINT AS n_repetition,
+           sum(CASE WHEN NOT d.contaminated AND r.keep AND c.keep
+               THEN 1 ELSE 0 END)::BIGINT AS n_classifier,
+           sum(CASE WHEN NOT d.contaminated AND r.keep AND c.keep
+                    AND round(1e-9 + p.n_dropped * 1.0 / p.n_paras, 4) <= {pm}
+               THEN 1 ELSE 0 END)::BIGINT AS n_final
+    FROM d
+    JOIN r ON d.doc_id = r.doc_id
+    JOIN c ON d.doc_id = c.doc_id
+    JOIN p ON d.doc_id = p.doc_id
+""".format(decon=_DECON_SQL, rep=_REPETITION_SQL, cls=_QC_SQL,
+           para=_PARA_SQL, pm=_FUNNEL_PARA_MAX)
+
+
+@register("corpus_funnel_report", _FUNNEL_SQL)
+def q_corpus_funnel_report(spark, sf_dir):
+    """Per-stage survivor counts for the chained text gates
+    (decontaminate -> repetition -> classifier -> paragraph retention),
+    composed from the registered queries themselves. One row out."""
+    d = q_decontaminate_ngram(spark, sf_dir).select("doc_id", "contaminated")
+    r = q_text_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rkeep"))
+    c = q_quality_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ckeep"))
+    p = q_dedup_paragraphs(spark, sf_dir).select("doc_id", "n_paras", "n_dropped")
+    j = d.join(r, "doc_id").join(c, "doc_id").join(p, "doc_id")
+    pfrac = F.round(F.col("n_dropped") / F.col("n_paras") + F.lit(1e-9), 4)
+    k1 = ~F.col("contaminated")
+    k2 = k1 & F.col("rkeep")
+    k3 = k2 & F.col("ckeep")
+    k4 = k3 & (pfrac <= _FUNNEL_PARA_MAX)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(k1.cast("long")).alias("n_decontaminated"),
+        F.sum(k2.cast("long")).alias("n_repetition"),
+        F.sum(k3.cast("long")).alias("n_classifier"),
+        F.sum(k4.cast("long")).alias("n_final"),
+    )
