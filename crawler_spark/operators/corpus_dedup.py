@@ -204,8 +204,19 @@ def incremental_cluster_step(
     Returns (upserts, new_postings, stats): CORPUS_CLUSTERS rows to merge
     (new images + previously-clustered rows whose cluster_id/canonical
     changed), CORPUS_BANDS rows to append, and counters."""
+    import time as _time
+
     from crawler_spark.queries import md5h
     from crawler_spark.queries_graph import propagate_min_labels
+
+    _t0 = _time.perf_counter()
+    _tm: dict[str, float] = {}
+
+    def _lap(key: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        _tm[key] = round(now - _t0, 3)
+        _t0 = now
 
     spark = new_rows.sparkSession
     nb = corpus_band_rows(
@@ -254,6 +265,7 @@ def incremental_cluster_step(
         .distinct()
         .persist()
     )
+    _lap("t_candidates")
 
     # --- quotient-graph label fold ---------------------------------------
     def to_label(df, col):
@@ -285,6 +297,7 @@ def incremental_cluster_step(
             F.col("cluster_id").alias("new_label"),
         ).filter(F.col("old_label") != F.col("new_label"))
     remap = remap.localCheckpoint()  # materialize so qlabels can release
+    _lap("t_labels")
 
     # --- changed clusters + canonical re-selection -----------------------
     # new images start as their own label; remap folds both them and any
@@ -347,6 +360,7 @@ def incremental_cluster_step(
         prev_slice, ["image_id", "phash", "cluster_id", "canonical"], "left_anti"
     ).localCheckpoint()
     assigned.unpersist()
+    _lap("t_canonical")
     stats = {
         "mode": "incremental",
         "new_images": new_rows.count(),
@@ -355,6 +369,8 @@ def incremental_cluster_step(
         "changed": upserts.count(),
     }
     postings = nb.localCheckpoint()
+    _lap("t_stats")
+    stats["timings"] = _tm
     for df in (nb, all_posts, pairs, qedges):
         df.unpersist()
     if qlabels is not None:

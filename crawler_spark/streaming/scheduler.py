@@ -560,6 +560,8 @@ class CrawlScheduler:
             st, new_rows, prev
         )
         stats["removed"] = 0  # stale sidecar rows force the full path
+        import time as _time
+        _t0 = _time.perf_counter()
         merge_plans = {
             "corpus_bands": st.plan_merge(
                 "corpus_bands", upsert=postings, key=["bh", "band", "k1", "img"]
@@ -570,6 +572,8 @@ class CrawlScheduler:
                 "corpus_clusters", upsert=upserts, key="image_id"
             )
         st.commit({}, properties=props, merge=merge_plans)
+        if "timings" in stats:
+            stats["timings"]["t_commit"] = round(_time.perf_counter() - _t0, 3)
         new_rows.unpersist()
         return stats
 

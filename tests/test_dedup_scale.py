@@ -148,3 +148,38 @@ def test_incremental_cc_equals_full_recompute(spark):
     inc4 = _run_incremental(spark, docs, 4, [3, 2, 1, 0])
     assert inc4 == full
     cleanup_caches()
+
+
+def test_unionfind_fast_path_equals_distributed_loop(spark, monkeypatch):
+    """propagate_min_labels' driver-side union-find path (small graphs)
+    must produce labels bit-identical to the iterative shuffle-join loop
+    on the same graph — chains (multi-hop propagation), a star, inert
+    edges to non-seed nodes, and seed labels differing from doc_ids."""
+    from crawler_spark import queries_graph as qg
+
+    # chain 1-2-3-4-5, star 10<-{11,12,13}, edge to non-seed node 99,
+    # isolated node 20; seed labels: node 4 carries prior label 2 (prior
+    # cluster), others their own id
+    raw = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13),
+           (13, 99), (20, 20)]
+    pairs = [(a, b) for a, b in raw if a != b]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "a long, b long"
+    )
+    seeds = [(i, 2 if i == 4 else i) for i in (1, 2, 3, 4, 5, 10, 11, 12, 13, 20)]
+    labels = spark.createDataFrame(seeds, "doc_id long, cluster_id long")
+
+    fast = qg.propagate_min_labels(labels, edges)
+    got_fast = {(r[0], r[1]) for r in fast.collect()}
+    fast.unpersist()
+
+    monkeypatch.setattr(qg, "_UF_MAX_EDGES", 0)  # force the join loop
+    slow = qg.propagate_min_labels(labels, edges)
+    got_slow = {(r[0], r[1]) for r in slow.collect()}
+    slow.unpersist()
+
+    assert got_fast == got_slow
+    # chain collapses to min seed label 1; node 4's prior label 2 loses
+    # to 1 but would win a component without a smaller seed
+    assert dict(got_fast)[5] == 1 and dict(got_fast)[13] == 10
+    assert dict(got_fast)[20] == 20
