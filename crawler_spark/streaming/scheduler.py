@@ -477,6 +477,13 @@ class CrawlScheduler:
         st = self.store
         corpus = st.read("corpus").select("image_id", "phash", "caption", "w", "h")
         prev = st.read("corpus_clusters")
+        tick = int(st.properties().get("dedup_tick", 0))
+        props = {"dedup_tick": tick + 1}
+        if mode == "incremental":
+            # explicitly-incremental ticks skip the O(corpus) stale scan:
+            # the caller asserts no cascade deletes happened (auto mode
+            # checks and routes around this)
+            return self._dedup_corpus_incremental(corpus, prev, props)
         # sidecar rows whose image left the corpus (cascade delete) force
         # the full path: their posting rows are stale too, and posting
         # deletion can't derive the bh buckets from image_id
@@ -484,7 +491,6 @@ class CrawlScheduler:
             corpus.select("image_id"), "image_id", "left_anti"
         ).persist()
         n_stale = stale.count()
-        tick = int(st.properties().get("dedup_tick", 0))
         if mode == "auto":
             corrector = (
                 not self.full_dedup_every
@@ -495,7 +501,6 @@ class CrawlScheduler:
                 "full" if (n_stale or not has_bands or corrector)
                 else "incremental"
             )
-        props = {"dedup_tick": tick + 1}
         if mode == "incremental":
             stale.unpersist()
             return self._dedup_corpus_incremental(corpus, prev, props)
