@@ -937,3 +937,75 @@ def q_image_caption_filter(spark, sf_dir):
         keep_caption.alias("keep_caption"),
         (keep_size & (aspect <= _ICF_MAX_ASPECT) & keep_caption).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched ANN top-k (a TABLE of query vectors, not a point lookup)
+# ---------------------------------------------------------------------------
+# The serving shape that actually runs at scale: K query vectors arrive
+# as a DataFrame and resolve in ONE plan — a bucket equi-join replaces K
+# broadcast point probes, and the per-query top-k is a window rank
+# filtered against a literal (Catalyst's WindowGroupLimit prunes
+# map-side, the frontier-pop precedent). Against the persisted index the
+# same join co-locates on the bucket partition key.
+
+_BATCH_Q_MOD = 50  # every 50th vector doubles as a query
+_BATCH_TOPK = 3
+
+_BATCH_ANN_SQL = """
+    WITH b AS (SELECT vec_id, embedding, {terms} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS qb
+          FROM b WHERE vec_id % {m} = 0),
+    cand AS (
+      SELECT q.q_id, b.vec_id,
+             list_sum(list_transform(list_zip(b.embedding, q.qv),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))))
+               AS sim
+      FROM b JOIN q ON b.bucket = q.qb AND b.vec_id != q.q_id
+    ),
+    r AS (
+      SELECT q_id, vec_id, round(1e-9 + sim, 4) AS cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(1e-9 + sim, 4) DESC,
+                                         vec_id ASC) AS rank
+      FROM cand
+    )
+    SELECT q_id, rank, vec_id, cosine FROM r WHERE rank <= {k}
+""".format(terms=_bucket_terms_sql, m=_BATCH_Q_MOD, k=_BATCH_TOPK)
+
+
+@register("knn_batch_topk", _BATCH_ANN_SQL)
+def q_knn_batch_topk(spark, sf_dir):
+    """Batched ANN: every query in the batch is resolved by one bucket
+    equi-join + per-query window top-k (rank vs a LITERAL so Catalyst
+    plans WindowGroupLimit). All JVM-side."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.withColumn("bucket", _bucket_col())
+    q = b.filter(F.col("vec_id") % _BATCH_Q_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = dsum(F.zip_with("embedding", "qv", lambda a, c: a.cast("double") * c.cast("double")))
+    ne = F.sqrt(dsum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
+    nq = F.sqrt(dsum(F.transform("qv", lambda x: x.cast("double") * x.cast("double"))))
+    cand = (
+        b.join(q, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", "vec_id", F.round(dot / (ne * nq) + F.lit(1e-9), 4).alias("cosine"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    )
+    return (
+        cand.withColumn("rank", rank)
+        .filter(F.col("rank") <= F.lit(_BATCH_TOPK))
+        .select("q_id", "rank", "vec_id", "cosine")
+    )

@@ -1156,3 +1156,69 @@ def q_corpus_funnel_report(spark, sf_dir):
         F.sum(k3.cast("long")).alias("n_classifier"),
         F.sum(k4.cast("long")).alias("n_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix budget planner (per-language sampling rates for a token budget)
+# ---------------------------------------------------------------------------
+# The static mix-planning step before sampling: given per-language token
+# counts and a total token budget (here 50% of the corpus), split the
+# budget equally across languages and emit the per-language KEEP RATE
+# that sample_stratified-style hash filters then apply. Undersized
+# languages cap at rate 1.0 (their shortfall is the re-weighting signal
+# a DoReMi-style loop would consume).
+#
+# Scale shape: one groupBy(lang) with map-side combine over row-local
+# token counts; the corpus totals are a 1-row aggregate broadcast back by
+# the planner (a window over the tiny per-lang frame here). Float
+# discipline: rate is the only division — rounded at 6dp (+1e-9) on both
+# engines, and planned_tokens floors the ROUNDED rate times an exact
+# integer (1e-9 nudge).
+
+_MIX_BUDGET_FRAC = 0.5
+
+_MIX_SQL = """
+    WITH per AS (
+      SELECT lang, count(*) AS n_docs,
+             sum(len({words}))::BIGINT AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(n_tokens) AS total_tokens, count(*) AS n_langs FROM per
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(1e-9 + least(1.0,
+             ({bf} * tot.total_tokens / tot.n_langs) / n_tokens), 6) AS rate,
+           floor(1e-9 + round(1e-9 + least(1.0,
+             ({bf} * tot.total_tokens / tot.n_langs) / n_tokens), 6)
+             * n_tokens)::BIGINT AS planned_tokens
+    FROM per CROSS JOIN tot
+""".format(words=WORDS_SQL.format(x="text"), bf=_MIX_BUDGET_FRAC)
+
+
+@register("training_mix_plan", _MIX_SQL)
+def q_training_mix_plan(spark, sf_dir):
+    """Per-language doc/token counts and the keep rate hitting an equal
+    per-language share of a 50%-of-corpus token budget. All JVM-side."""
+    docs = _docs(spark, sf_dir)
+    per = (
+        docs.select("lang", F.size(_words(F.col("text"))).alias("toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    target = (
+        F.lit(_MIX_BUDGET_FRAC) * F.sum("n_tokens").over(w)
+        / F.count(F.lit(1)).over(w)
+    )
+    rate = F.round(
+        F.least(F.lit(1.0), target / F.col("n_tokens")) + F.lit(1e-9), 6
+    )
+    return per.select(
+        "lang", "n_docs", "n_tokens", rate.alias("rate"),
+        F.floor(rate * F.col("n_tokens") + F.lit(1e-9)).cast("long")
+            .alias("planned_tokens"),
+    )

@@ -124,7 +124,7 @@ _JVM_ONLY = [
     "text_tfidf_topk", "knn_pq_adc_topk", "dedup_crossdoc_ngram",
     "host_pagerank", "decontaminate_ngram", "quality_classifier_score",
     "dedup_paragraphs", "knn_ivfpq_topk", "image_caption_filter",
-    "corpus_funnel_report",
+    "corpus_funnel_report", "knn_batch_topk", "training_mix_plan",
 ]
 
 
