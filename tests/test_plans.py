@@ -181,3 +181,14 @@ def test_semdedup_is_grouped_equi_join():
     p = plan_str(QUERIES["semdedup_cells"](_spark(), SF_SMALL))
     assert "BroadcastNestedLoopJoin" not in p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_batch_ann_plan_shape():
+    """knn_batch_topk must plan the serving shape: hash join on the
+    bucket (never BNLJ), per-query top-k via WindowGroupLimit (rank vs
+    literal prunes map-side), no Python."""
+    df = QUERIES["knn_batch_topk"](_spark(), SF_SMALL)
+    p = plan_str(df)
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoop" not in p
+    assert "EvalPython" not in p
