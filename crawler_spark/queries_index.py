@@ -148,3 +148,46 @@ def q_knn_ann_multiprobe_topk(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+@register("knn_batch_indexed_topk", None)
+def q_knn_batch_indexed_topk(spark, sf_dir):
+    """Batched ANN over the PERSISTED index: the batch's distinct query
+    buckets (bounded by min(K, 2^bits) ids — a driver-safe point list)
+    select which partitions to read via lsh_partitions; the probe then
+    joins index rows to the broadcast query table on bucket equality and
+    ranks per query (WindowGroupLimit, the knn_batch_topk plan). The
+    oracle lives on knn_batch_topk — this is its index-probe twin and is
+    asserted row-identical to it in tests (registered rows-only here
+    because the index is engine state DuckDB cannot see)."""
+    from pyspark.sql import Window
+
+    from crawler_spark.queries_media import _BATCH_Q_MOD, _BATCH_TOPK, _bucket_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % _BATCH_Q_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        _bucket_col().alias("qb"),
+    )
+    buckets = [r[0] for r in q.select("qb").distinct().collect()]
+    probe = index_for(spark, sf_dir).lsh_partitions(buckets)
+
+    dot = _dsum(F.zip_with("embedding", "qv", lambda a, c: a.cast("double") * c.cast("double")))
+    ne = F.sqrt(_dsum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
+    nq = F.sqrt(_dsum(F.transform("qv", lambda x: x.cast("double") * x.cast("double"))))
+    cand = (
+        probe.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", F.round(dot / (ne * nq) + F.lit(1e-9), 4).alias("cosine"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    )
+    return (
+        cand.withColumn("rank", rank)
+        .filter(F.col("rank") <= F.lit(_BATCH_TOPK))
+        .select("q_id", "rank", "vec_id", "cosine")
+    )

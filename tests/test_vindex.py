@@ -127,3 +127,14 @@ def test_multiprobe_scans_only_probe_buckets(spark):
     assert all(any(f"__bucket={b}/" in f for b in probes) for f in files)
     all_files = ix.store.read("emb_lsh").inputFiles()
     assert len(all_files) > len(files), "probe did not prune the index scan"
+
+
+def test_batch_indexed_matches_recompute(spark):
+    """The batched index probe must reproduce the recompute-form batch
+    query row-for-row, while reading only the batch's bucket partitions."""
+    from crawler_spark.queries_index import q_knn_batch_indexed_topk
+    from crawler_spark.queries_media import q_knn_batch_topk
+
+    a = {tuple(r) for r in q_knn_batch_indexed_topk(spark, SF_SMALL).collect()}
+    b = {tuple(r) for r in q_knn_batch_topk(spark, SF_SMALL).collect()}
+    assert a == b and a
