@@ -138,3 +138,22 @@ def test_batch_indexed_matches_recompute(spark):
     a = {tuple(r) for r in q_knn_batch_indexed_topk(spark, SF_SMALL).collect()}
     b = {tuple(r) for r in q_knn_batch_topk(spark, SF_SMALL).collect()}
     assert a == b and a
+
+
+def test_batch_probe_scans_only_batch_buckets(spark):
+    """The batched probe's scan must touch only the partitions of the
+    batch's distinct query buckets (file-level pruning, like the
+    single-probe and multiprobe forms)."""
+    from crawler_spark.queries_media import _BATCH_Q_MOD
+
+    ix = index_for(spark, SF_SMALL)
+    qb = {
+        int(r["bucket"])
+        for r in emb_lsh_rows(
+            _emb(spark).filter(F.col("vec_id") % _BATCH_Q_MOD == 0)
+        ).select("bucket").collect()
+    }
+    probe = ix.lsh_partitions(qb)
+    files = probe.inputFiles()
+    assert files
+    assert all(any(f"__bucket={b}/" in f for b in qb) for f in files)
