@@ -1222,3 +1222,57 @@ def q_training_mix_plan(spark, sf_dir):
         F.floor(rate * F.col("n_tokens") + F.lit(1e-9)).cast("long")
             .alias("planned_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-tier binning (curriculum buckets over the quality score)
+# ---------------------------------------------------------------------------
+# Curriculum schedules and ablations consume the corpus in QUALITY TIERS:
+# rank every doc by its composite quality score, cut into equal-frequency
+# deciles (ntile — a window family the registry didn't cover yet), and
+# report per-tier volume and score range. Both layers COMPOSE the
+# registered text_quality_score (Spark calls the query; the oracle nests
+# its SQL as a CTE), and the order under ntile carries a doc_id tiebreak
+# so tier assignment is total and engine-portable.
+#
+# Scale shape: the score is row-local; ntile needs a TOTAL order — the
+# one genuinely global sort in this file. At 10^10 docs you run it as
+# repartitionByRange(score) + per-partition rank with offset merge, or
+# swap deciles for fixed score thresholds (zero-shuffle CASE);
+# registered here in its exact equal-frequency form, which is what the
+# range-partition variant must reproduce.
+
+_TIER_SQL = """
+    WITH s AS ({q}),
+    t AS (
+      SELECT doc_id, quality,
+             ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS tier
+      FROM s
+    )
+    SELECT tier, count(*) AS n_docs,
+           round(1e-9 + min(quality), 4) AS q_min,
+           round(1e-9 + max(quality), 4) AS q_max,
+           round(1e-9 + avg(quality), 4) AS q_avg
+    FROM t GROUP BY tier
+""".format(q=_QUALITY_SQL)
+
+
+@register("quality_tier_stats", _TIER_SQL)
+def q_quality_tier_stats(spark, sf_dir):
+    """Equal-frequency quality deciles (ntile over the rounded composite
+    with a doc_id tiebreak, composed from text_quality_score) -> per-tier
+    volume and score range. All JVM-side."""
+    s = q_text_quality_score(spark, sf_dir)
+    tier = F.ntile(10).over(
+        Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    )
+    return (
+        s.withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("quality") + F.lit(1e-9), 4).alias("q_min"),
+            F.round(F.max("quality") + F.lit(1e-9), 4).alias("q_max"),
+            F.round(F.avg("quality") + F.lit(1e-9), 4).alias("q_avg"),
+        )
+    )
