@@ -189,5 +189,10 @@ def q_knn_batch_indexed_topk(spark, sf_dir):
     return (
         cand.withColumn("rank", rank)
         .filter(F.col("rank") <= F.lit(_BATCH_TOPK))
-        .select("q_id", "rank", "vec_id", "cosine")
+        # rows-only contract: first field non-nullable (q_id comes off an
+        # inner join and cannot be null; coalesce makes the schema say so)
+        .select(
+            F.coalesce(F.col("q_id"), F.lit(-1)).alias("q_id"),
+            "rank", "vec_id", "cosine",
+        )
     )
