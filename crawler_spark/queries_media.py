@@ -1009,3 +1009,143 @@ def q_knn_batch_topk(spark, sf_dir):
         .filter(F.col("rank") <= F.lit(_BATCH_TOPK))
         .select("q_id", "rank", "vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine k-means training of the IVF coarse quantizer (Lloyd's)
+# ---------------------------------------------------------------------------
+# knn_ivf_topk USES seeded centroids; a real index TRAINS them. This is
+# Lloyd's algorithm run entirely in the engine — per iteration one
+# assignment (distance agg over the unnested dims + per-vector argmin
+# with a cell tiebreak) and one update (per-(cell, dim) mean) — the
+# iterative-ML pattern (same chained-CTE oracle trick as host_pagerank).
+# Cross-engine float discipline: centroids round to 6dp after every
+# update and distances to 9dp before the argmin, so both engines enter
+# each iteration from identical state and last-ulp sums cannot flip an
+# assignment. Empty cells keep their previous centroid (coalesce).
+#
+# Scale shape: the unnest is dims x n rows but every stage is a
+# map-side-combinable agg or a per-vector window; centroids are k x dims
+# rows — broadcast-sized state, exactly how a 10^10-vector quantizer
+# trains (the full corpus never concentrates anywhere).
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _km_iter_sql(i: int) -> str:
+    prev = f"c{i - 1}"
+    return f"""
+    d{i} AS (
+      SELECT e.vec_id, c.cell,
+             round(1e-12 + sum((e.val - c.v) * (e.val - c.v)), 9) AS d
+      FROM e JOIN {prev} c USING (dim) GROUP BY e.vec_id, c.cell
+    ),
+    a{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cell ASC) AS rk
+        FROM d{i}
+      ) WHERE rk = 1
+    ),
+    n{i} AS (
+      SELECT a.cell, e.dim, round(1e-9 + avg(e.val), 6) AS v
+      FROM e JOIN a{i} a USING (vec_id) GROUP BY a.cell, e.dim
+    ),
+    c{i} AS (
+      SELECT p.cell, p.dim, coalesce(n.v, p.v) AS v
+      FROM {prev} p LEFT JOIN n{i} n ON n.cell = p.cell AND n.dim = p.dim
+    )"""
+
+
+_KMEANS_SQL = """
+    WITH e AS (
+      SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS val
+      FROM embeddings, LATERAL unnest(range(1, {dimp1})) AS t(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cell, dim, round(1e-9 + val, 6) AS v
+      FROM e WHERE vec_id BETWEEN 1 AND {k}
+    ),
+    {iters},
+    df AS (
+      SELECT e.vec_id, c.cell,
+             round(1e-12 + sum((e.val - c.v) * (e.val - c.v)), 9) AS d
+      FROM e JOIN c{last} c USING (dim) GROUP BY e.vec_id, c.cell
+    ),
+    af AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cell ASC) AS rk
+        FROM df
+      ) WHERE rk = 1
+    ),
+    m AS (SELECT cell, count(*) AS n_members FROM af GROUP BY cell)
+    SELECT c.cell, coalesce(m.n_members, 0)::BIGINT AS n_members,
+           round(1e-9 + sqrt(sum(c.v * c.v)), 4) AS c_norm
+    FROM c{last} c LEFT JOIN m USING (cell)
+    GROUP BY c.cell, m.n_members
+""".format(
+    dimp1=_KM_DIM + 1, k=_KM_K, last=_KM_ITERS,
+    iters=",".join(_km_iter_sql(i) for i in range(1, _KM_ITERS + 1)).lstrip(",\n "),
+)
+
+
+@register("ivf_train_kmeans", _KMEANS_SQL)
+def q_ivf_train_kmeans(spark, sf_dir):
+    """Train the IVF coarse quantizer in-engine: 2 Lloyd iterations from
+    vectors 1..k as seeds; output per-cell member count and centroid
+    norm. All JVM-side; centroid state is k x dims rows."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "val0")
+    ).select(
+        "vec_id", (F.col("dim0") + 1).alias("dim"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    c = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KM_K)).select(
+        F.col("vec_id").alias("cell"), "dim",
+        F.round(F.col("val") + F.lit(1e-9), 6).alias("v"),
+    )
+
+    def assign(cents):
+        d = (
+            e.join(cents, "dim")
+            .groupBy("vec_id", "cell")
+            .agg(F.round(
+                F.sum((F.col("val") - F.col("v")) * (F.col("val") - F.col("v")))
+                + F.lit(1e-12), 9).alias("d"))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cell").asc())
+        )
+        return d.withColumn("rk", rk).filter(F.col("rk") == 1).select("vec_id", "cell")
+
+    for _ in range(_KM_ITERS):
+        a = assign(c)
+        n = (
+            e.join(a, "vec_id")
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("val") + F.lit(1e-9), 6).alias("v2"))
+        )
+        c = c.join(n, ["cell", "dim"], "left").select(
+            "cell", "dim", F.coalesce("v2", "v").alias("v")
+        )
+    af = assign(c)
+    m = af.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        c.groupBy("cell")
+        .agg(F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))) + F.lit(1e-9), 4)
+             .alias("c_norm"))
+        .join(m, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            "c_norm",
+        )
+    )
