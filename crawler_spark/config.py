@@ -43,6 +43,9 @@ class CrawlConfig:
     discovery_interval_secs: int = 0
     recrawl_interval_secs: int = 0
     maintenance_every: int = 0  # 0 = off; else compact+gc every N batches
+    # maintain the similarity-index sidecar (<root>/vindex) in the same
+    # maintenance tick as corpus dedup
+    maintain_vindex: bool = True
 
     @classmethod
     def load(cls, json_path: str | None = None, env: dict | None = None) -> "CrawlConfig":

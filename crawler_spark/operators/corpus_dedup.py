@@ -370,7 +370,11 @@ def incremental_cluster_step(
     }
     postings = nb.localCheckpoint()
     _lap("t_stats")
-    stats["timings"] = _tm
+    # "_observability" is wall-clock-only and EXCLUDED from any
+    # engine-vs-simulator comparison by contract (parity harnesses must
+    # strip keys with a leading underscore before comparing stats —
+    # tests/test_corpus_dedup.py documents this)
+    stats["_observability"] = {"timings": _tm}
     for df in (nb, all_posts, pairs, qedges):
         df.unpersist()
     if qlabels is not None:

@@ -85,6 +85,41 @@ def doc_minhash_rows(docs: DataFrame) -> DataFrame:
     return d.select("doc_id", minhash_sig_from_hashes(F.col("hs")).alias("sig"))
 
 
+def corpus_minhash_docs(corpus: DataFrame) -> DataFrame:
+    """Crawled-corpus rows -> the (doc_id, text) contract doc_minhash_rows
+    expects: doc_id is the SAME 60-bit md5 image hash corpus_clusters /
+    corpus_bands key on (queries.md5h), text is the caption — so index
+    rows join directly against the loop's other sidecars."""
+    from crawler_spark.queries import md5h
+
+    return corpus.select(
+        md5h("image_id").alias("doc_id"), F.col("caption").alias("text")
+    )
+
+
+def corpus_vectors(corpus: DataFrame) -> DataFrame:
+    """Crawled-corpus rows -> (vec_id, embedding) for the vector indexes:
+    a deterministic 64-dim ±1 float vector from the 60-bit phash's bits
+    (bit i, wrapping past 60). No media/model libs exist in the sandbox —
+    this keeps the Spark-side plumbing (schema, CoW partitioning, probe
+    pruning) real; a deployment swaps in model embeddings under the same
+    (vec_id, embedding) contract. Pure Catalyst: 64 literal-shift bit
+    extracts, no UDF."""
+    from crawler_spark.queries import md5h
+
+    emb = F.array(*[
+        (
+            F.shiftrightunsigned(F.col("phash"), i % 60)
+            .bitwiseAND(F.lit(1))
+            .cast("int")
+            * 2
+            - 1
+        ).cast("float")
+        for i in range(64)
+    ])
+    return corpus.select(md5h("image_id").alias("vec_id"), emb.alias("embedding"))
+
+
 class SimilarityIndex:
     """The three similarity indexes in one SnapshotStore (atomic commits,
     time travel, bucket-level CoW — tables.py)."""
@@ -105,19 +140,54 @@ class SimilarityIndex:
             changed["doc_minhash"] = doc_minhash_rows(docs)
         return self.store.commit(changed)
 
-    def upsert(self, emb: DataFrame | None = None, docs: DataFrame | None = None) -> int:
+    def upsert(
+        self,
+        emb: DataFrame | None = None,
+        docs: DataFrame | None = None,
+        delete_ids: DataFrame | None = None,
+    ) -> int:
         """Incremental maintenance: index only the NEW/CHANGED rows; the
         CoW merge rewrites only the partitions their keys land in. This
         is the loop-shaped path (cf. seen_sketch in the scheduler): per
-        batch cost is O(batch rows + dirty partitions), never O(index)."""
+        batch cost is O(batch rows + dirty partitions), never O(index).
+
+        delete_ids: one-column (doc_id) frame of ids to purge from ALL
+        THREE tables (vec_id == doc_id for loop-maintained corpora —
+        both are md5h(image_id)). Deleting from the value-partitioned
+        vector tables can't derive the bucket from the id, so a cascade
+        pays a full pass there — the same documented trade as metrics
+        deletes; the per-batch hot path never deletes."""
         st = self.store
+        dv = (
+            delete_ids.select(F.col(delete_ids.columns[0]).alias("vec_id"))
+            if delete_ids is not None
+            else None
+        )
+        dd = (
+            delete_ids.select(F.col(delete_ids.columns[0]).alias("doc_id"))
+            if delete_ids is not None
+            else None
+        )
         plans = {}
-        if emb is not None:
-            plans["emb_lsh"] = st.plan_merge("emb_lsh", emb_lsh_rows(emb), key="vec_id")
-            plans["emb_ivf"] = st.plan_merge("emb_ivf", emb_ivf_rows(emb), key="vec_id")
-        if docs is not None:
+        if emb is not None or dv is not None:
+            plans["emb_lsh"] = st.plan_merge(
+                "emb_lsh",
+                upsert=emb_lsh_rows(emb) if emb is not None else None,
+                delete=dv,
+                key="vec_id",
+            )
+            plans["emb_ivf"] = st.plan_merge(
+                "emb_ivf",
+                upsert=emb_ivf_rows(emb) if emb is not None else None,
+                delete=dv,
+                key="vec_id",
+            )
+        if docs is not None or dd is not None:
             plans["doc_minhash"] = st.plan_merge(
-                "doc_minhash", doc_minhash_rows(docs), key="doc_id"
+                "doc_minhash",
+                upsert=doc_minhash_rows(docs) if docs is not None else None,
+                delete=dd,
+                key="doc_id",
             )
         return st.commit({}, merge=plans)
 
@@ -137,6 +207,14 @@ class SimilarityIndex:
 
     def ivf_partition(self, cell: int) -> DataFrame:
         return self.store.read_buckets("emb_ivf", [str(int(cell))])
+
+    def ivf_partitions(self, cells) -> DataFrame:
+        """IVF multiprobe read: the union of the named cells' partition
+        files (nprobe/cells of the index) — file-level pruning, same
+        contract as lsh_partitions."""
+        return self.store.read_buckets(
+            "emb_ivf", sorted({str(int(c)) for c in cells})
+        )
 
     def minhash_sigs(self) -> DataFrame:
         return self.store.read("doc_minhash")

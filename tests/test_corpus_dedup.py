@@ -172,3 +172,26 @@ def test_cascade_delete_cleans_sidecar(crawled):
     corpus_left = {r["image_id"] for r in crawled.store.read("corpus").collect()}
     assert victim not in left and victim not in corpus_left
     assert left == {r["image_id"] for r in rows} - {victim}
+
+
+def test_incremental_stats_wallclock_lives_under_observability(spark, tmp_path):
+    """Parity contract: every non-underscore key in the dedup stats dict
+    is deterministic (comparable engine-vs-simulator); wall-clock timings
+    live ONLY under `_observability`, which comparisons must strip."""
+    from crawler_spark.streaming.scheduler import CrawlScheduler
+
+    s = CrawlScheduler(
+        spark, str(tmp_path / "st"), universe=400, n_seeds=8, k_per_host=4,
+        lineage_hashes=False, maintain_vindex=False,
+    )
+    s.run(2)
+    stats = s.dedup_corpus()           # first tick: full path, no timings
+    assert "_observability" not in {k for k in stats if not k.startswith("_")}
+    s.run(1)
+    stats = s.dedup_corpus(mode="incremental")
+    assert "timings" not in stats      # never at top level
+    obs = stats.get("_observability")
+    assert obs and "timings" in obs and "t_commit" in obs["timings"]
+    det = {k: v for k, v in stats.items() if not k.startswith("_")}
+    assert set(det) == {"mode", "new_images", "pairs",
+                        "posting_buckets_read", "changed", "removed"}
