@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from crawler_spark.queries import REGISTRY
+import crawler_spark.queries_eval  # noqa: F401  (populates REGISTRY)
 import crawler_spark.queries_graph  # noqa: F401  (populates REGISTRY)
 import crawler_spark.queries_index  # noqa: F401  (populates REGISTRY)
 import crawler_spark.queries_ml  # noqa: F401  (populates REGISTRY)

@@ -14,8 +14,10 @@ Jobs (the two throughput axes of the BASELINE.json metric):
   * frontier_pop — M-row synthetic frontier -> ready filter -> per-host
     window rank -> politeness cap; shuffle-bound.
   * minhash_dedup — D synthetic documents -> 3-word shingles -> 8-lane
-    array-land minhash signature -> LSH band self-join (the training-data
-    dedup axis); expression-heavy with one narrow shuffle.
+    array-land minhash signature -> lsh_band_pairs (the engine's
+    spill-safe windowed posting build + hot-bucket cap — the
+    training-data dedup axis); expression-heavy with one band-key
+    shuffle.
 
 Isolation: every (job, cores) pair runs in its OWN subprocess/JVM
 (shuffle files, GC state and page cache of one job can't leak into the
@@ -145,7 +147,8 @@ def _job_minhash(cores: int) -> dict:
     from pyspark.sql import functions as F
 
     from crawler_spark.queries_ml import (
-        _LSH_BANDS, _MASK60, _MINHASH_LANES, _shingles,
+        _LSH_BANDS, _LSH_BUCKET_CAP, _MASK60, _MINHASH_LANES,
+        _shingles, lsh_band_pairs,
     )
 
     spark = _session(cores)
@@ -187,8 +190,8 @@ def _job_minhash(cores: int) -> dict:
 
     def run():
         # like the registry query: signatures are materialized ONCE
-        # (persist), then the 4 band views + both join sides read the
-        # cache — without it the whole md5/conv tree re-evaluates 8x
+        # (persist), then the 4 band views read the cache — without it
+        # the whole md5/conv tree re-evaluates per band
         sig.unpersist(blocking=True)
         sig.persist()
         _noop(sig)  # timed: the signature computation itself
@@ -199,13 +202,10 @@ def _job_minhash(cores: int) -> dict:
                 F.col(f"h{2 * b}").alias("k1"), F.col(f"h{2 * b + 1}").alias("k2"),
             )
             bands = one if bands is None else bands.unionByName(one)
-        a = bands.select(F.col("doc_id").alias("doc_a"), "band", "k1", "k2")
-        b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "k1", "k2")
-        _noop(
-            a.join(b2, ["band", "k1", "k2"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct()
-        )
+        # the ENGINE's pair path (queries_ml.lsh_band_pairs): spill-safe
+        # windowed posting build with the hot-bucket cap — the same plan
+        # the registry query and the crawl loop's full dedup run
+        _noop(lsh_band_pairs(bands, _LSH_BUCKET_CAP))
 
     run()  # warmup
     best = None

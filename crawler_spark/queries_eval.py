@@ -1,0 +1,403 @@
+"""Quality-evaluation queries for the similarity / dedup stack.
+
+The round-3/4 index work added four ANN probe strategies (sign-LSH,
+LSH multiprobe, IVF single-cell, IVF multiprobe) and a minhash candidate
+generator — all oracle-checked for *plan equivalence*, but none of them
+measured for *retrieval quality*. These queries close the "measure,
+don't guess" gap:
+
+  * ann_recall_report      — recall@k and probe cost of every ANN
+    strategy against exact brute-force ground truth, over a BATCH of
+    query vectors (Lv et al. multiprobe-LSH evaluation protocol).
+  * minhash_calibration    — estimated Jaccard (signature lane
+    agreement, Broder's estimator) vs exact shingle Jaccard for every
+    LSH candidate pair.
+
+Scale shape (100 TB): recall eval always runs over a bounded SAMPLE of
+queries — the ground-truth scorer is then one broadcast-join scan of the
+corpus (sample x corpus), which is exactly how production recall QA jobs
+run; the per-method candidate sets reuse the same scored frame by
+filter, so the corpus is scanned ONCE for all five strategies. The
+calibration query touches full shingle sets only for docs that appear
+in a candidate pair (semi-join prune before the shingle explode)."""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from crawler_spark.queries import _t, register, track_persist
+from crawler_spark.queries_media import (
+    _BATCH_Q_MOD,
+    _CENTROIDS,
+    _IVF_CELLS,
+    _bucket_col,
+    _bucket_terms_sql,
+    _cell_dots_sql,
+)
+from crawler_spark.queries_ml import (
+    _ANN_BITS,
+    _H1_SQL,
+    _H2_SQL,
+    _LSH_BUCKET_CAP,
+    _bands_sql,
+    _shingles,
+    _shingles_sql,
+    _sig_lanes_sql,
+    bands_from_sig_table,
+    lsh_band_pairs,
+    md5h,
+    minhash_lane_hashes,
+    minhash_sig_from_hashes,
+)
+
+# ---------------------------------------------------------------------------
+# ANN recall report: recall@k + probe cost per strategy vs brute force
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+_RECALL_NPROBE = 2  # same nprobe as knn_ivf_multiprobe_topk
+
+
+def _dsum(arr):
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_RECALL_SQL = """
+    WITH b AS (
+      SELECT vec_id, embedding, {terms} AS bucket, [{dots}] AS d FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, embedding, bucket, d,
+             array_position(d, list_max(d)) AS cell
+      FROM b
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qv, bucket AS qb, cell AS qc, d AS qd
+      FROM c WHERE vec_id % {m} = 0
+    ),
+    pc AS (
+      SELECT q_id, i AS pcell FROM (
+        SELECT q.q_id, t.i,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY q.qd[t.i] DESC, t.i ASC) AS rn
+        FROM q, LATERAL unnest(range(1, {cellsp1})) AS t(i)
+      ) WHERE rn <= {nprobe}
+    ),
+    pairs AS (
+      SELECT q.q_id, c.vec_id, c.bucket, c.cell, q.qb, q.qc,
+             round(1e-9 +
+               list_sum(list_transform(list_zip(c.embedding, q.qv),
+                                       p -> p[1]::DOUBLE * p[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+             4) AS cosine
+      FROM c, q WHERE c.vec_id != q.q_id
+    ),
+    gt AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rk
+        FROM pairs
+      ) WHERE rk <= {k}
+    ),
+    cand AS (
+      SELECT 'lsh' AS method, q_id, vec_id, cosine FROM pairs WHERE bucket = qb
+      UNION ALL
+      SELECT 'lsh_multiprobe' AS method, q_id, vec_id, cosine FROM pairs
+      WHERE bucket = qb{flips}
+      UNION ALL
+      SELECT 'ivf' AS method, q_id, vec_id, cosine FROM pairs WHERE cell = qc
+      UNION ALL
+      SELECT 'ivf_multiprobe' AS method, p.q_id, p.vec_id, p.cosine
+      FROM pairs p JOIN pc ON pc.q_id = p.q_id AND pc.pcell = p.cell
+    ),
+    top AS (
+      SELECT method, q_id, vec_id FROM (
+        SELECT method, q_id, vec_id,
+               row_number() OVER (PARTITION BY method, q_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rk
+        FROM cand
+      ) WHERE rk <= {k}
+    ),
+    nq AS (SELECT count(*) AS n FROM q),
+    hits AS (
+      SELECT method, count(*) AS n_hit
+      FROM top JOIN gt USING (q_id, vec_id) GROUP BY method
+    ),
+    nc AS (SELECT method, count(*) AS n_cand FROM cand GROUP BY method)
+    SELECT nc.method AS method,
+           round(1e-9 + coalesce(n_hit, 0)::DOUBLE / ({k} * nq.n), 4) AS recall,
+           round(1e-9 + n_cand::DOUBLE / nq.n, 4) AS avg_cand
+    FROM nc LEFT JOIN hits ON hits.method = nc.method, nq
+""".format(
+    terms=_bucket_terms_sql,
+    dots=_cell_dots_sql,
+    m=_BATCH_Q_MOD,
+    cellsp1=_IVF_CELLS + 1,
+    nprobe=_RECALL_NPROBE,
+    k=_RECALL_K,
+    flips="".join(
+        f" OR bucket = xor(qb, {1 << i}::BIGINT)" for i in range(_ANN_BITS)
+    ),
+)
+
+
+@register("ann_recall_report", _RECALL_SQL)
+def q_ann_recall_report(spark, sf_dir):
+    """Recall@k + probe cost of the four ANN strategies vs brute force.
+
+    Every _BATCH_Q_MOD-th vector is a query. Ground truth is the exact
+    cosine top-k from a broadcast-join scan (the scored frame is
+    persisted once and shared); each strategy's candidate set is a
+    FILTER of that frame — bucket equality (sign-LSH), the bucket plus
+    its one-bit flips (multiprobe LSH, Lv et al.), the argmax IVF cell,
+    and the query's nprobe nearest cells. recall = |top_k ∩ gt_k| /
+    (k * n_queries); avg_cand = candidates scored per query (the probe-
+    cost axis: multiprobe must buy its recall with bounded extra I/O).
+    At 100 TB this is the offline QA job for the persisted indexes in
+    operators/vindex.py — sampled queries, one corpus scan, never an
+    all-pairs materialization."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dots = F.array(*[
+        _dsum(F.zip_with(
+            "embedding",
+            F.array(*[F.lit(v) for v in cent]),
+            lambda a, b: a.cast("double") * b,
+        ))
+        for cent in _CENTROIDS
+    ])
+    c = emb.select(
+        "vec_id", "embedding",
+        _bucket_col().alias("bucket"),
+        dots.alias("d"),
+    ).withColumn("cell", F.array_position(F.col("d"), F.array_max("d")))
+
+    q = c.filter(F.col("vec_id") % _BATCH_Q_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+        F.col("cell").alias("qc"),
+        F.col("d").alias("qd"),
+    )
+    # the query's nprobe nearest cells: sort 8 (−dot, cell) structs inside
+    # the row (struct sort = dot desc, cell-id tiebreak — the oracle's
+    # ORDER BY qd[i] DESC, i ASC), take the first nprobe cell ids
+    cells_by_dot = F.array_sort(F.array(*[
+        F.struct(
+            (-F.element_at(F.col("qd"), i + 1)).alias("nd"),
+            F.lit(i + 1).cast("long").alias("cell"),
+        )
+        for i in range(_IVF_CELLS)
+    ]))
+    q = q.withColumn(
+        "qcells",
+        F.slice(F.transform(cells_by_dot, lambda s: s["cell"]), 1, _RECALL_NPROBE),
+    ).drop("qd")
+
+    dot = _dsum(F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")))
+    ne = F.sqrt(_dsum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
+    nq_ = F.sqrt(_dsum(F.transform("qv", lambda x: x.cast("double") * x.cast("double"))))
+    # ONE corpus scan scores every (query, vector) pair; ground truth and
+    # all four candidate sets are filters/ranks over this persisted frame
+    pairs = track_persist(
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "bucket", "cell", "qb", "qc", "qcells",
+            F.round(dot / (ne * nq_) + F.lit(1e-9), 4).alias("cosine"),
+        )
+    )
+
+    by_q = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    gt = (
+        pairs.withColumn("rk", F.row_number().over(by_q))
+        .filter(F.col("rk") <= F.lit(_RECALL_K))
+        .select("q_id", "vec_id")
+    )
+
+    mp_pred = reduce(
+        or_,
+        [F.col("bucket") == F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(_ANN_BITS)],
+        F.col("bucket") == F.col("qb"),
+    )
+    methods = {
+        "lsh": F.col("bucket") == F.col("qb"),
+        "lsh_multiprobe": mp_pred,
+        "ivf": F.col("cell") == F.col("qc"),
+        "ivf_multiprobe": F.array_contains(F.col("qcells"), F.col("cell")),
+    }
+    cand = None
+    for name, pred in methods.items():
+        one = pairs.filter(pred).select(
+            F.lit(name).alias("method"), "q_id", "vec_id", "cosine"
+        )
+        cand = one if cand is None else cand.unionByName(one)
+
+    by_mq = Window.partitionBy("method", "q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        cand.withColumn("rk", F.row_number().over(by_mq))
+        .filter(F.col("rk") <= F.lit(_RECALL_K))
+        .select("method", "q_id", "vec_id")
+    )
+    hits = top.join(gt, ["q_id", "vec_id"]).groupBy("method").agg(
+        F.count("*").alias("n_hit")
+    )
+    ncand = cand.groupBy("method").agg(F.count("*").alias("n_cand"))
+    nq_df = q.agg(F.count("*").alias("nq"))
+    return (
+        ncand.join(hits, "method", "left")
+        .crossJoin(F.broadcast(nq_df))
+        .select(
+            "method",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / (F.lit(_RECALL_K) * F.col("nq"))
+                + F.lit(1e-9), 4,
+            ).alias("recall"),
+            F.round(F.col("n_cand") / F.col("nq") + F.lit(1e-9), 4).alias("avg_cand"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration: estimated vs exact Jaccard on every candidate pair
+# ---------------------------------------------------------------------------
+
+_lane_eq_sql = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(8))
+
+_CALIBRATION_SQL = """
+    WITH sh0 AS (
+      SELECT doc_id, unnest({shingles}) AS shingle FROM documents
+    ),
+    sh AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh0),
+    sig AS (SELECT doc_id, {lanes} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    posts AS (
+      SELECT band, k1, k2, list_sort(list(DISTINCT doc_id)) AS docs
+      FROM bands GROUP BY band, k1, k2
+    ),
+    rawpairs AS (
+      SELECT a.x AS doc_a, b.y AS doc_b
+      FROM posts, UNNEST(docs) AS a(x), UNNEST(docs) AS b(y)
+      WHERE len(docs) BETWEEN 2 AND {cap} AND a.x < b.y
+      UNION ALL
+      SELECT docs[1] AS doc_a, u.y AS doc_b
+      FROM posts, UNNEST(docs[2:]) AS u(y)
+      WHERE len(docs) > {cap}
+    ),
+    cp AS (SELECT DISTINCT doc_a, doc_b FROM rawpairs),
+    sdist AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+      FROM sh0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sdist GROUP BY doc_id),
+    common AS (
+      SELECT cp.doc_a, cp.doc_b, count(*) AS c
+      FROM cp
+      JOIN sdist a ON a.doc_id = cp.doc_a
+      JOIN sdist b ON b.doc_id = cp.doc_b AND b.sh_h = a.sh_h
+      GROUP BY 1, 2
+    )
+    SELECT cp.doc_a, cp.doc_b,
+           round(1e-9 + ({laneeq}) / 8.0, 4) AS est_jaccard,
+           round(1e-9 + coalesce(c, 0)::DOUBLE
+                 / (za.n + zb.n - coalesce(c, 0)), 4) AS exact_jaccard
+    FROM cp
+    JOIN sig sa ON sa.doc_id = cp.doc_a
+    JOIN sig sb ON sb.doc_id = cp.doc_b
+    JOIN sizes za ON za.doc_id = cp.doc_a
+    JOIN sizes zb ON zb.doc_id = cp.doc_b
+    LEFT JOIN common ON common.doc_a = cp.doc_a AND common.doc_b = cp.doc_b
+""".format(
+    shingles=_shingles_sql("text"),
+    h1=_H1_SQL,
+    h2=_H2_SQL,
+    lanes=_sig_lanes_sql,
+    bands=_bands_sql,
+    cap=_LSH_BUCKET_CAP,
+    laneeq=_lane_eq_sql,
+)
+
+
+@register("minhash_calibration", _CALIBRATION_SQL)
+def q_minhash_calibration(spark, sf_dir):
+    """Broder's Jaccard estimator vs ground truth, per candidate pair.
+
+    For every dedup_minhash_lsh candidate pair: est_jaccard = fraction
+    of the 8 signature lanes that agree (E[est] = true Jaccard);
+    exact_jaccard = |A∩B|/|A∪B| over the full distinct shingle sets.
+    Star-edge pairs from over-cap buckets legitimately show low exact
+    Jaccard — that's the report's point: it quantifies what the banding
+    parameters (4x2) trade for their candidate bound.
+
+    Scale shape: candidate pairs are LSH-bounded; exact Jaccard is
+    computed ONLY for docs appearing in a pair (semi-join prune BEFORE
+    the shingle explode), so the expensive set intersection never runs
+    corpus-wide — it's pairs x shingle-set size, the same bound a human
+    reviewer of a dedup run pays."""
+    from crawler_spark.queries_ml import _docs
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", minhash_lane_hashes(F.col("text")).alias("hs"))
+    sig = d.select("doc_id", minhash_sig_from_hashes(F.col("hs")).alias("sig"))
+    pairs = track_persist(
+        lsh_band_pairs(bands_from_sig_table(sig), _LSH_BUCKET_CAP)
+    )
+
+    # estimator: lane-agreement fraction of the two persisted signatures
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    lane_matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b",
+        F.round(lane_matches / F.lit(8.0) + F.lit(1e-9), 4).alias("est_jaccard"),
+    )
+
+    # exact Jaccard over full distinct shingle sets — but only for docs
+    # that actually appear in a candidate pair (semi-join prune before
+    # the shingle explode touches text)
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    s = (
+        docs.join(members, "doc_id", "semi")
+        .select(
+            "doc_id",
+            F.explode(F.transform(_shingles(F.col("text")), md5h)).alias("sh_h"),
+        )
+        .dropDuplicates(["doc_id", "sh_h"])
+    )
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa_sh = s.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    sb_sh = s.select(F.col("doc_id").alias("db"), F.col("sh_h").alias("sh_hb"))
+    common = (
+        pairs.join(sa_sh, "doc_a")
+        .join(sb_sh, (F.col("doc_b") == F.col("db")) & (F.col("sh_h") == F.col("sh_hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c0 = F.coalesce(F.col("c"), F.lit(0))
+    return (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "est_jaccard",
+            F.round(c0 / (F.col("na") + F.col("nb") - c0) + F.lit(1e-9), 4)
+            .alias("exact_jaccard"),
+        )
+    )

@@ -43,6 +43,16 @@ def crawl_bench(spark, params: dict | None = None, n_batches: int = N_BATCHES) -
         t0 = time.perf_counter()
         inc = s.dedup_corpus(mode="incremental")
         dedup_incr_secs = time.perf_counter() - t0
+        # similarity-index upkeep: first call bootstraps the sidecar over
+        # the whole corpus (one-time O(corpus)); after one more batch the
+        # steady-state tick indexes only the new rows (O(batch))
+        t0 = time.perf_counter()
+        s.vindex_upkeep()
+        vx_boot_secs = time.perf_counter() - t0
+        s.run_batch()
+        t0 = time.perf_counter()
+        vx = s.vindex_upkeep()
+        vx_incr_secs = time.perf_counter() - t0
         return {
             "crawl_batches": n_batches,
             "crawl_popped": popped,
@@ -54,6 +64,9 @@ def crawl_bench(spark, params: dict | None = None, n_batches: int = N_BATCHES) -
             "crawl_dedup_full_secs": round(dedup_full_secs, 3),
             "crawl_dedup_incr_secs": round(dedup_incr_secs, 3),
             "crawl_dedup_incr_new_images": inc["new_images"],
+            "crawl_vindex_bootstrap_secs": round(vx_boot_secs, 3),
+            "crawl_vindex_incr_secs": round(vx_incr_secs, 3),
+            "crawl_vindex_incr_new": vx["indexed_new"],
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

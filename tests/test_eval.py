@@ -1,0 +1,67 @@
+"""ann_recall_report / minhash_calibration invariants (beyond the oracle
+lockstep, which tests/test_queries_oracle.py covers for every registry
+entry): the recall report must show the dominance relations the index
+designs claim, and the calibration columns must be well-formed."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def recall_rows(spark):
+    from crawler_spark.queries_eval import q_ann_recall_report
+
+    rows = {r["method"]: r for r in q_ann_recall_report(spark, SF).collect()}
+    assert set(rows) == {"lsh", "lsh_multiprobe", "ivf", "ivf_multiprobe"}
+    return rows
+
+
+def test_multiprobe_recall_dominates(recall_rows):
+    # a multiprobe candidate set is a superset of the single-probe set,
+    # so its top-k can only get closer to ground truth
+    assert recall_rows["lsh_multiprobe"]["recall"] >= recall_rows["lsh"]["recall"]
+    assert recall_rows["ivf_multiprobe"]["recall"] >= recall_rows["ivf"]["recall"]
+
+
+def test_multiprobe_pays_bounded_probe_cost(recall_rows, spark):
+    # dominance is bought with more candidates — but every strategy must
+    # still PRUNE: probe cost stays well under the brute-force N-1 scan.
+    # (No tight multiple-of-single-probe bound: the 2nd-nearest cell can
+    # legitimately be larger than the query's own cell.)
+    assert recall_rows["lsh_multiprobe"]["avg_cand"] >= recall_rows["lsh"]["avg_cand"]
+    assert recall_rows["ivf_multiprobe"]["avg_cand"] >= recall_rows["ivf"]["avg_cand"]
+    n = spark.read.parquet(SF + "/embeddings.parquet").count()
+    for r in recall_rows.values():
+        assert r["avg_cand"] <= 0.7 * (n - 1)
+
+
+def test_recall_is_a_fraction(recall_rows):
+    for r in recall_rows.values():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["avg_cand"] >= 0.0
+
+
+def test_calibration_columns_well_formed(spark):
+    from crawler_spark.queries_eval import q_minhash_calibration
+
+    rows = q_minhash_calibration(spark, SF).collect()
+    assert rows, "sf0.001 must produce candidate pairs"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        # 8 lanes -> estimator is k/8 (rounded to 4dp with the +1e-9 nudge)
+        assert any(
+            abs(r["est_jaccard"] - k / 8.0) < 2e-4 for k in range(9)
+        ), r["est_jaccard"]
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+
+
+def test_calibration_estimator_tracks_truth_on_average(spark):
+    # E[est] = true Jaccard (Broder). At sf0.001 the candidate pairs are
+    # real near-dups, so the MEAN estimator error must be small even
+    # though any one 8-lane estimate is coarse (sd ~ 0.17).
+    from crawler_spark.queries_eval import q_minhash_calibration
+
+    rows = q_minhash_calibration(spark, SF).collect()
+    mean_err = sum(r["est_jaccard"] - r["exact_jaccard"] for r in rows) / len(rows)
+    assert abs(mean_err) < 0.2
