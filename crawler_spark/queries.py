@@ -608,6 +608,63 @@ def q_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "cdc_snapshot_diff",
+    """
+    WITH base AS (SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+                  FROM orders WHERE o_orderkey % 3 != 0),
+         updates AS (SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS o_totalprice
+                     FROM orders WHERE o_orderkey % 2 = 0),
+         newt AS (
+           SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+                  coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice
+           FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+           WHERE coalesce(u.o_orderkey, b.o_orderkey) % 7 != 0
+         ),
+         j AS (
+           SELECT o.o_orderkey AS ok, o.o_totalprice AS ov,
+                  n.o_orderkey AS nk, n.o_totalprice AS nv
+           FROM base o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+         )
+    SELECT ok AS o_orderkey, ov AS o_totalprice, 'delete' AS change_type
+    FROM j WHERE nk IS NULL
+    UNION ALL
+    SELECT nk, nv, 'insert' FROM j WHERE ok IS NULL
+    UNION ALL
+    SELECT ok, ov, 'update_before'
+    FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND ov IS DISTINCT FROM nv
+    UNION ALL
+    SELECT nk, nv, 'update_after'
+    FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND ov IS DISTINCT FROM nv
+    """,
+)
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """CDC / changelog scan between two table versions (Iceberg
+    changelog, Delta CDF): old = a keyed orders projection, new = the
+    same table after an upsert batch (+10%% price on even keys) and a
+    predicate delete (keys %% 7). tables.cdc_diff classifies every key
+    as insert / delete / update_before / update_after in ONE full-outer
+    join; unchanged rows emit nothing. SnapshotStore.diff runs this
+    same transform over only the CHANGED CoW buckets, so a downstream
+    consumer (indexer, training-data exporter) re-reads O(changed
+    rows) — the incremental-consumption contract the reference's
+    MongoDB change streams give its dashboard (src/repos/*_repo.rs
+    find-since patterns)."""
+    from crawler_spark.tables import cdc_diff, merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice")
+    )
+    new = merge_upsert(base, updates, "o_orderkey").filter(F.col("o_orderkey") % 7 != 0)
+    return cdc_diff(base, new, "o_orderkey").withColumnRenamed(
+        "_change_type", "change_type"
+    )
+
+
+@register(
     "cascade_delete",
     """
     SELECT l.l_returnflag, count(*) AS remaining
