@@ -52,6 +52,10 @@ def get_spark(
         # --- scan sizing: 128 MiB splits, same as prod ------------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Iceberg-compatible timestamps (INT96 is banned by the Iceberg
+        # spec AND writes no row-group min/max stats — the store's
+        # manifest column stats harvest footers at commit time)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

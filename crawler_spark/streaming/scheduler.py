@@ -225,7 +225,12 @@ class CrawlScheduler:
         if run_recrawl and self.recrawl_interval_secs > 0:
             wm_props["last_recrawl_epoch"] = as_of_epoch
 
-        frontier = st.read("frontier")
+        # manifest-stats data skipping: the pop only ever consumes ready
+        # rows (next_fetch_ts <= as_of — frontier_op.ready applies the
+        # same predicate), so buckets whose min(next_fetch_ts) is in the
+        # future are skipped without opening a file. Semantics-neutral:
+        # pruning removes only rows the ready filter would drop.
+        frontier = st.read_where("frontier", "next_fetch_ts", hi=as_of)
         polite = st.read("politeness")
         robots_tbl = st.read("robots")
         blacklist = st.read("blacklist")

@@ -65,7 +65,14 @@ def crawl_bucket_spec(n_shards: int = 16, n_buckets: int = 16) -> dict:
     its buckets ALIGN with the sketch shards — a dirty bucket is a dirty
     shard, and the sketch rebuild reads exactly the rewritten files."""
     return {
-        "frontier": {"mode": "hash", "key": "url_hash", "n": n_buckets},
+        # `stats` columns get per-bucket min/max harvested from parquet
+        # footers into the manifest at commit time; the pop's ready scan
+        # (next_fetch_ts <= as_of) skips buckets whose min lies in the
+        # future without opening a file
+        "frontier": {
+            "mode": "hash", "key": "url_hash", "n": n_buckets,
+            "stats": ["next_fetch_ts"],
+        },
         "seen": {"mode": "hash", "key": "url_hash", "n": n_shards},
         "pages": {"mode": "hash", "key": "url_hash", "n": n_buckets},
         "corpus": {"mode": "hash", "key": "image_id", "n": n_buckets},
@@ -256,6 +263,66 @@ class SnapshotStore:
         m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
         return m.get("properties", {})
 
+    # -- column stats / data skipping ----------------------------------------
+
+    def table_stats(self, table: str, snapshot_id: int | None = None) -> dict:
+        """{bucket label: {col: [min, max]}} recorded in the manifest for
+        the spec's `stats` columns (timestamps as epoch micros)."""
+        m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
+        ent = m["tables"].get(table) or {}
+        return ent.get("stats", {})
+
+    def pruned_labels(
+        self, table: str, col: str, lo=None, hi=None, snapshot_id: int | None = None
+    ) -> list[str] | None:
+        """Bucket labels that can contain a row with `lo <= col <= hi`
+        (either bound optional), judged from manifest stats alone — no
+        file opened. A bucket with no recorded stat for `col` is kept
+        (unknown can never be pruned). None = table not bucketed at that
+        snapshot (no pruning available)."""
+        bm = self._bucket_map(table, snapshot_id)
+        if not bm:
+            return None
+        stats = self.table_stats(table, snapshot_id)
+        lo_k = _stat_val(lo) if lo is not None else None
+        hi_k = _stat_val(hi) if hi is not None else None
+        keep = []
+        for label in sorted(bm):
+            s = stats.get(label, {}).get(col)
+            if s is not None:
+                if hi_k is not None and s[0] > hi_k:
+                    continue
+                if lo_k is not None and s[1] < lo_k:
+                    continue
+            keep.append(label)
+        return keep
+
+    def read_where(
+        self, table: str, col: str, lo=None, hi=None, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Range-predicate read with manifest-stats file skipping
+        (Iceberg data skipping): buckets whose recorded [min, max] for
+        `col` cannot intersect [lo, hi] are never handed to Spark, so
+        the scan plans ONLY surviving files. The predicate is still
+        applied to what's read — stale or missing stats cost speed,
+        never correctness. The frontier pop reads through this with
+        hi=as_of: buckets whose min(next_fetch_ts) lies in the future
+        (all-dormant hosts) are skipped without opening a file."""
+        preds = []
+        if lo is not None:
+            preds.append(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            preds.append(F.col(col) <= F.lit(hi))
+        labels = self.pruned_labels(table, col, lo, hi, snapshot_id)
+        df = (
+            self.read(table, snapshot_id)
+            if labels is None
+            else self.read_buckets(table, labels, snapshot_id)
+        )
+        for p in preds:
+            df = df.filter(p)
+        return df
+
     # -- CDC / incremental scan ----------------------------------------------
 
     def changed_buckets(self, table: str, from_sid: int, to_sid: int) -> list[str]:
@@ -301,10 +368,65 @@ class SnapshotStore:
 
     # -- write --------------------------------------------------------------
 
-    def _write_buckets(self, name: str, df: DataFrame, sid: int, n_tasks: int) -> dict[str, str]:
+    def _harvest_stats(self, bucket_dirs: dict[str, str], stats_cols: list[str]) -> dict:
+        """Per-bucket min/max of the spec's `stats` columns, read from the
+        parquet FOOTERS of freshly written files (Iceberg's manifest
+        column stats — zero extra Spark jobs; cost is O(dirty buckets)
+        local metadata reads per commit). A column whose stats are
+        missing in ANY row group of a bucket is recorded as unknown for
+        that bucket (the read path then keeps the bucket — pruning is
+        only ever an optimization, never a correctness bet). Truncated
+        binary stats stay safe: parquet truncates min down / max up, so
+        they remain valid bounds."""
+        if not stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for label, rel in bucket_dirs.items():
+            agg: dict[str, list] = {}
+            unknown: set[str] = set()
+            d = os.path.join(self.root, rel)
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                rg0 = md.row_group(0)
+                idx = {
+                    rg0.column(i).path_in_schema: i for i in range(rg0.num_columns)
+                }
+                for c in stats_cols:
+                    if c in unknown:
+                        continue
+                    i = idx.get(c)
+                    if i is None:
+                        unknown.add(c)
+                        continue
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(i).statistics
+                        if st is None or not st.has_min_max:
+                            unknown.add(c)
+                            break
+                        lo, hi = _stat_val(st.min), _stat_val(st.max)
+                        if lo is None or hi is None:
+                            unknown.add(c)
+                            break
+                        cur = agg.get(c)
+                        agg[c] = (
+                            [lo, hi]
+                            if cur is None
+                            else [min(cur[0], lo), max(cur[1], hi)]
+                        )
+            stats = {c: v for c, v in agg.items() if c not in unknown}
+            if stats:
+                out[label] = stats
+        return out
+
+    def _write_buckets(self, name: str, df: DataFrame, sid: int, n_tasks: int) -> tuple[dict[str, str], dict]:
         """Write rows hive-partitioned by bucket label under one snap dir;
-        return {label: rel_dir} for the dirs actually produced (an empty
-        bucket writes nothing and simply drops out of the map)."""
+        return ({label: rel_dir}, {label: column stats}) for the dirs
+        actually produced (an empty bucket writes nothing and simply
+        drops out of the map)."""
         rel = os.path.join("data", name, f"snap-{sid:08d}")
         full = os.path.join(self.root, rel)
         # canonical column order in the files: joins move key columns to
@@ -319,11 +441,12 @@ class SnapshotStore:
             .mode("overwrite")
             .parquet(full)
         )
-        return {
+        bmap = {
             d.split("=", 1)[1]: os.path.join(rel, d)
             for d in os.listdir(full)
             if d.startswith(f"{_BUCKET_COL}=")
         }
+        return bmap, self._harvest_stats(bmap, self.bucket_spec[name].get("stats") or [])
 
     def commit(
         self,
@@ -370,7 +493,11 @@ class SnapshotStore:
                 # is dirty; the bucket map is rebuilt from scratch
                 spec = self.bucket_spec[name]
                 n_tasks = spec.get("n", self.files_per_table)
-                return name, {"buckets": self._write_buckets(name, df, sid, n_tasks)}
+                bmap, stats = self._write_buckets(name, df, sid, n_tasks)
+                ent = {"buckets": bmap}
+                if stats:
+                    ent["stats"] = stats
+                return name, ent
             rel = os.path.join("data", name, f"snap-{sid:08d}")
             full = os.path.join(self.root, rel)
             pcols = partition_by.get(name)
@@ -391,13 +518,20 @@ class SnapshotStore:
                 raise KeyError(f"merge commit on unbucketed table {name!r}")
             if not plan.dirty:
                 return name, None  # no-op: carry the previous entry forward
-            written = self._write_buckets(name, plan.merged, sid, len(plan.dirty))
+            written, wstats = self._write_buckets(name, plan.merged, sid, len(plan.dirty))
             bm = self._bucket_map(name)
+            stats = dict(self.table_stats(name))  # clean buckets keep theirs
             for label in plan.dirty:
                 bm.pop(label, None)
+                stats.pop(label, None)
                 if label in written:
                     bm[label] = written[label]
-            return name, {"buckets": bm}
+                    if label in wstats:
+                        stats[label] = wstats[label]
+            ent = {"buckets": bm}
+            if stats:
+                ent["stats"] = stats
+            return name, ent
 
         # table writes are independent Spark jobs on disjoint output dirs:
         # submit them concurrently (Spark's scheduler interleaves stages;
@@ -516,6 +650,24 @@ class SnapshotStore:
 
 def _keys(key) -> list[str]:
     return [key] if isinstance(key, str) else list(key)
+
+
+def _stat_val(v):
+    """Normalize a parquet-footer statistic (or a user-supplied bound) to
+    a JSON-safe, totally-ordered value: timestamps -> epoch micros (naive
+    values are UTC — the session pins spark.sql.session.timeZone=UTC);
+    int/float/str pass through; anything else is 'no usable stat'."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key) -> DataFrame:

@@ -3,6 +3,7 @@ changed-bucket pruning (Iceberg changelog / Delta CDF semantics over the
 CoW snapshot store)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from crawler_spark.schemas import POLITENESS
 from crawler_spark.tables import SnapshotStore, cdc_diff
@@ -102,6 +103,50 @@ def test_store_diff_sees_bucket_drop_as_deletes(cdc_store, spark):
     assert cdc_store.changed_buckets("politeness", 1, 2) == ["2"]
     out = _chg(cdc_store.diff("politeness", "host_hash", 1, 2))
     assert out == [(2, "delete", 20), (6, "delete", 60)]
+
+
+def test_changelog_replay_reconstructs_loop_frontier(spark, tmp_path):
+    """old snapshot + changelog == new snapshot, on the ENGINE's own
+    frontier across real crawl batches (inserts from discovery, updates
+    from fetch write-backs — every change type the loop produces)."""
+    from crawler_spark.streaming.scheduler import CrawlScheduler
+    from crawler_spark.tables import table_state_hash
+
+    eng = CrawlScheduler(
+        spark, str(tmp_path / "cdcloop"), universe=300, n_seeds=8,
+        k_per_host=4, tick_secs=6 * 3600, use_sketch=False,
+        lineage_hashes=False,
+    )
+    eng.init()
+    for _ in range(3):
+        eng.run_batch()
+    st = eng.store
+    a, b = 1, st.snapshot_id
+    assert b > a
+    diff = st.diff("frontier", "url_hash", a, b)
+    # pruned diff == brute-force diff over the full snapshots
+    brute = cdc_diff(
+        st.read("frontier", snapshot_id=a),
+        st.read("frontier", snapshot_id=b),
+        "url_hash",
+    )
+    key = lambda r: (r["url_hash"], r["_change_type"])  # noqa: E731
+    assert sorted(map(key, diff.collect())) == sorted(map(key, brute.collect()))
+    # replay: apply the changelog to the old snapshot -> the new snapshot
+    ins = diff.filter(
+        F.col("_change_type").isin("insert", "update_after")
+    ).drop("_change_type")
+    rem = diff.filter(
+        F.col("_change_type").isin("delete", "update_before")
+    ).select("url_hash")
+    new = st.read("frontier", snapshot_id=b)
+    replayed = (
+        st.read("frontier", snapshot_id=a)
+        .join(rem, "url_hash", "left_anti")
+        .unionByName(ins)
+        .select(*new.columns)  # USING-join moved the key column to front
+    )
+    assert table_state_hash(replayed) == table_state_hash(new)
 
 
 def test_store_diff_unbucketed_table_falls_back_to_full(spark, tmp_path):
