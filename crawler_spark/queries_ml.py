@@ -1347,3 +1347,85 @@ def q_quality_tier_stats(spark, sf_dir):
             F.round(F.avg("quality") + F.lit(1e-9), 4).alias("q_avg"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (concat-and-chunk bin assignment)
+# ---------------------------------------------------------------------------
+# The step between corpus selection and the data loader: documents are
+# concatenated in a deterministic order and cut into fixed-token training
+# sequences; each doc is attributed to the sequence where its FIRST token
+# lands (GPT-style concat-then-chunk — a long doc spans several sequences
+# but is counted once, at its start). Emitted per-sequence: doc count,
+# token sum, and fill rate — the packing-efficiency report a data loader
+# is provisioned from.
+#
+# Scale shape: packing is embarrassingly parallel ACROSS independent
+# groups — docs hash into _PACK_GROUPS groups (the parallelism knob; a
+# real run sets it to O(cluster cores) so each group's ordered cumsum is
+# one task's worth of work), and the only shuffle is the hash partition
+# on grp. Within a group the running token count is a window cumsum in
+# doc_id order — deterministic, so the loader can re-derive any
+# sequence's membership without storing a mapping. No floats until the
+# final fill-rate division (rounded 4dp on both engines).
+
+_PACK_BUDGET = 512
+_PACK_GROUPS = 8
+
+_PACK_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             len({words})::BIGINT AS n_tokens,
+             ({h}) % {G} AS grp
+      FROM documents
+    ),
+    c AS (
+      SELECT grp, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY grp ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM d
+    )
+    SELECT grp, (cum_before // {B})::BIGINT AS seq_id,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS seq_tokens,
+           min(doc_id) AS first_doc,
+           round(1e-9 + sum(n_tokens) / {B}.0, 4) AS fill_rate
+    FROM c GROUP BY grp, (cum_before // {B})::BIGINT
+""".format(
+    words=WORDS_SQL.format(x="text"),
+    h=MD5H_SQL.format(x="doc_id::VARCHAR"),
+    G=_PACK_GROUPS,
+    B=_PACK_BUDGET,
+)
+
+
+@register("training_sequence_pack", _PACK_SQL)
+def q_training_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing: hash docs into independent
+    groups, cumsum token counts in doc_id order, seq_id = first-token
+    offset // budget; per-sequence doc/token/fill stats. One shuffle."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("long").alias("n_tokens"),
+        (md5h(F.col("doc_id").cast("string")) % _PACK_GROUPS).alias("grp"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    b = c.withColumn(
+        "seq_id", F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long")
+    )
+    return b.groupBy("grp", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.round(
+            F.sum("n_tokens") / F.lit(float(_PACK_BUDGET)) + F.lit(1e-9), 4
+        ).alias("fill_rate"),
+    )

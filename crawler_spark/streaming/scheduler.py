@@ -70,6 +70,7 @@ class CrawlScheduler:
         maintenance_every: int | None = None,
         full_dedup_every: int = 4,
         maintain_vindex: bool = True,
+        wap_audit: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -132,6 +133,14 @@ class CrawlScheduler:
         # under <root>/vindex and is opened lazily
         self.maintain_vindex = maintain_vindex
         self._vindex = None
+        # write-audit-publish batch commits: stage each batch on a
+        # branch, audit the CHANGELOG (O(changed buckets)), publish on
+        # pass. A branch left behind by a crash between stage and
+        # publish is unpublished work — discard it here exactly like any
+        # other uncommitted state; the batch replays from main HEAD.
+        self.wap_audit = wap_audit
+        if wap_audit:
+            self.store.drop_branch("wap")
 
     # -- bootstrap ----------------------------------------------------------
 
@@ -414,7 +423,8 @@ class CrawlScheduler:
         else:
             rows.append((sid_next, batch_id, as_of, "frontier", "", n_ok, n_err, as_of))
         log_row = self.spark.createDataFrame(rows, SNAPSHOTS_LOG)
-        st.commit(
+        base_sid = st.snapshot_id
+        staged_sid = st.commit(
             changed,
             properties={"batch_id": batch_id + 1, "watermark_epoch": as_of_epoch,
                         **wm_props},
@@ -422,7 +432,14 @@ class CrawlScheduler:
             # lineage log is grow-only: append the batch row as a delta
             # file (O(1) per commit) instead of rewriting the whole log
             append={"snapshots_log": log_row},
+            branch="wap" if self.wap_audit else None,
         )
+        if self.wap_audit:
+            violations = self._audit_staged(base_sid, staged_sid)
+            if violations:
+                st.drop_branch("wap")
+                raise RuntimeError(f"WAP audit rejected batch: {violations}")
+            st.publish("wap")
         unpersist = [popped, fetched, cand, raw_cand, frontier_upd, pages_upd,
                      corpus_upd, metrics_upd, feed_items]
         if seen_plan is not None:
@@ -611,6 +628,34 @@ class CrawlScheduler:
 
             self._vindex = SimilarityIndex(self.spark, f"{self.root}/vindex")
         return self._vindex
+
+    def _audit_staged(self, base_sid: int, staged_sid: int) -> list[str]:
+        """WAP audit over the STAGED snapshot before publish: each check
+        reads only the changelog between base and staged (store.diff
+        prunes both sides to the batch's dirty buckets — O(batch), never
+        O(table)), so the audit stays cheap at any corpus size. Checks
+        are the loop's cross-table invariants a bad batch could break:
+        a politeness row charged past its daily quota, and a seen-set
+        deletion (seen is grow-only outside explicit cascade deletes,
+        which don't go through run_batch)."""
+        st = self.store
+        bad: list[str] = []
+        entering = F.col("_change_type").isin("insert", "update_after")
+        n_over = (
+            st.diff("politeness", "host_hash", base_sid, staged_sid)
+            .filter(entering & (F.col("used_quota") > F.col("daily_quota")))
+            .count()
+        )
+        if n_over:
+            bad.append(f"politeness: {n_over} rows charged past daily_quota")
+        n_seen_del = (
+            st.diff("seen", "url_hash", base_sid, staged_sid)
+            .filter(F.col("_change_type") == "delete")
+            .count()
+        )
+        if n_seen_del:
+            bad.append(f"seen: {n_seen_del} rows deleted in a crawl batch")
+        return bad
 
     def vindex_upkeep(self) -> dict:
         """Maintenance stage (round-3 judge missing #1): keep the

@@ -117,6 +117,7 @@ class SnapshotStore:
         self.files_per_table = files_per_table
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "branches"), exist_ok=True)
         # the spec persisted at first commit wins on reopen: resume must
         # use the layout the store was created with
         persisted = self.current_manifest().get("bucket_spec")
@@ -127,7 +128,13 @@ class SnapshotStore:
     def _head_path(self) -> str:
         return os.path.join(self.root, "HEAD")
 
-    def current_manifest(self) -> dict:
+    def current_manifest(self, branch: str | None = None) -> dict:
+        if branch is not None:
+            st = self.branch_state(branch)
+            if st is not None:
+                with open(os.path.join(self.root, "manifests", st["manifest"])) as f:
+                    return json.load(f)
+            # a branch with no commits yet reads as main HEAD (the cut point)
         head = self._head_path()
         if not os.path.exists(head):
             return {"snapshot_id": 0, "tables": {}, "properties": {}}
@@ -135,6 +142,58 @@ class SnapshotStore:
             name = f.read().strip()
         with open(os.path.join(self.root, "manifests", name)) as f:
             return json.load(f)
+
+    # -- branches (write-audit-publish) --------------------------------------
+
+    def _branch_pointer(self, branch: str) -> str:
+        return os.path.join(self.root, "branches", branch)
+
+    def branch_state(self, branch: str) -> dict | None:
+        """{"manifest": ..., "base_sid": ..., "sids": [...]} or None."""
+        p = self._branch_pointer(branch)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def publish(self, branch: str) -> int:
+        """Write-audit-publish, the publish half (Iceberg WAP /
+        stage-only commits): fast-forward HEAD to the branch's audited
+        manifest with the same pointer-swap atomicity as a normal
+        commit. Single-writer optimistic concurrency: raises if main
+        advanced since the branch was cut — the staged work must then
+        be re-staged on the new base (commit-time snapshot-id collision
+        makes a concurrent main write loud even before publish)."""
+        st = self.branch_state(branch)
+        if st is None:
+            raise KeyError(f"unknown branch {branch!r}")
+        if self.snapshot_id != st["base_sid"]:
+            raise RuntimeError(
+                f"publish conflict: main is at {self.snapshot_id}, "
+                f"branch {branch!r} was cut at {st['base_sid']}"
+            )
+        head_tmp = self._head_path() + ".tmp"
+        with open(head_tmp, "w") as f:
+            f.write(st["manifest"])
+        os.replace(head_tmp, self._head_path())
+        os.remove(self._branch_pointer(branch))
+        return self.snapshot_id
+
+    def drop_branch(self, branch: str) -> dict:
+        """Abandon a staged branch (audit failed): delete its manifests
+        and pointer; the branch's data dirs become unreferenced and are
+        reclaimed by the next gc(). Main is untouched."""
+        st = self.branch_state(branch)
+        if st is None:
+            return {"removed_manifests": 0}
+        removed = 0
+        for sid in st["sids"]:
+            p = os.path.join(self.root, "manifests", f"manifest-{sid:08d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+        os.remove(self._branch_pointer(branch))
+        return {"removed_manifests": removed}
 
     def manifest_at(self, snapshot_id: int) -> dict:
         if snapshot_id == 0:  # the store's (virtual) empty initial snapshot
@@ -455,6 +514,7 @@ class SnapshotStore:
         partition_by: dict[str, list[str]] | None = None,
         append: dict[str, DataFrame] | None = None,
         merge: dict[str, MergePlan] | None = None,
+        branch: str | None = None,
     ) -> int:
         """Atomically commit new versions of `changed` tables; every other
         table is carried forward from the previous snapshot unchanged.
@@ -473,9 +533,31 @@ class SnapshotStore:
         O(changed rows' buckets), not O(table).
 
         A table may appear in at most one of changed/append/merge.
+
+        `branch` stages the commit on a named branch (Iceberg WAP): the
+        manifest is written and time-travel readable by its sid, but
+        HEAD does not move — only the branch pointer does; an audit job
+        reads the staged snapshot and either publish(branch) fast-
+        forwards HEAD (pointer swap) or drop_branch discards it. Chained
+        branch commits build on the branch head. Snapshot ids are a
+        global sequence: a main commit while a branch holds the next id
+        raises instead of clobbering the staged snapshot.
         """
-        prev = self.current_manifest()
+        prev = self.current_manifest(branch=branch)
         sid = prev["snapshot_id"] + 1
+        mname = f"manifest-{sid:08d}.json"
+        # an existing manifest at this sid is either staged branch work
+        # (raise — publishing would be clobbered) or an orphan from a
+        # crash between manifest write and pointer swap (reclaim — the
+        # established crash contract: orphans are garbage, not locks)
+        if os.path.exists(os.path.join(self.root, "manifests", mname)) and any(
+            sid in (self.branch_state(b) or {}).get("sids", ())
+            for b in os.listdir(os.path.join(self.root, "branches"))
+        ):
+            raise RuntimeError(
+                f"snapshot id collision at {sid}: an unpublished branch holds "
+                "it — publish or drop the branch first (single-writer WAP)"
+            )
         tables = dict(prev["tables"])
         partition_by = partition_by or {}
         merge = merge or {}
@@ -573,11 +655,22 @@ class SnapshotStore:
             "properties": props,
             "bucket_spec": self.bucket_spec,
         }
-        mname = f"manifest-{sid:08d}.json"
         tmp = os.path.join(self.root, "manifests", f".{mname}.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.root, "manifests", mname))
+        if branch is not None:
+            st = self.branch_state(branch) or {
+                "base_sid": prev["snapshot_id"],
+                "sids": [],
+            }
+            st["manifest"] = mname
+            st["sids"].append(sid)
+            btmp = self._branch_pointer(branch) + ".tmp"
+            with open(btmp, "w") as f:
+                json.dump(st, f)
+            os.replace(btmp, self._branch_pointer(branch))
+            return sid
         head_tmp = self._head_path() + ".tmp"
         with open(head_tmp, "w") as f:
             f.write(mname)
@@ -605,7 +698,19 @@ class SnapshotStore:
 
         mdir = os.path.join(self.root, "manifests")
         names = sorted(n for n in os.listdir(mdir) if n.startswith("manifest-"))
-        keep, drop = names[-keep_last:], names[:-keep_last]
+        # HEAD's manifest and any unpublished branch's manifests are
+        # always retained regardless of age (an active WAP branch's
+        # staged snapshots must survive a concurrent expire)
+        protected: set[str] = set()
+        if os.path.exists(self._head_path()):
+            with open(self._head_path()) as f:
+                protected.add(f.read().strip())
+        for b in os.listdir(os.path.join(self.root, "branches")):
+            st = self.branch_state(b)
+            if st:
+                protected.update(f"manifest-{s:08d}.json" for s in st["sids"])
+        keep = sorted(set(names[-keep_last:]) | (protected & set(names)))
+        drop = [n for n in names if n not in keep]
         referenced: set[str] = set()
         for name in keep:
             with open(os.path.join(mdir, name)) as f:
@@ -758,6 +863,37 @@ def cdc_diff(old: DataFrame, new: DataFrame, key) -> DataFrame:
         .otherwise(empty)
     )
     return joined.select(F.explode(changes).alias("c")).select("c.*")
+
+
+def apply_cdc(target: DataFrame, diff: DataFrame, key, transform=None) -> DataFrame:
+    """Fold a cdc_diff changelog into a downstream materialization — the
+    incremental-materialized-view consumer (Iceberg changelog read +
+    MERGE on the derived table). Keys tagged delete/update_before leave,
+    rows tagged insert/update_after enter, optionally through the view's
+    row-local transform (filter / project / derive; it must preserve the
+    key column). For any such view f:
+
+        f(table@to) == apply_cdc(f(table@from), diff(from, to), key,
+                                 transform=f)
+
+    bit-identically — so a derived export (training-data selection,
+    secondary index, dashboard rollup) updates in O(changed rows) per
+    snapshot instead of recomputing over 10^10 rows. A transform that
+    FILTERS is safe in both directions: an update whose after-image
+    leaves the view is still purged (the delete side keys on the base
+    table's changelog, not on view membership), and one that enters the
+    view arrives with the inserts."""
+    ks = _keys(key)
+    doomed = diff.filter(
+        F.col("_change_type").isin("delete", "update_before")
+    ).select(*ks)
+    entering = diff.filter(
+        F.col("_change_type").isin("insert", "update_after")
+    ).drop("_change_type")
+    if transform is not None:
+        entering = transform(entering)
+    survivors = merge_delete(target, doomed, ks)
+    return survivors.unionByName(entering).select(*target.columns)
 
 
 def write_bucketed(

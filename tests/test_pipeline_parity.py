@@ -249,3 +249,66 @@ def test_mixed_cadence_parity(spark, tmp_path_factory):
     pol = {r["host_hash"]: (r["used_quota"], r["quota_day"])
            for r in eng.store.read("politeness").collect()}
     assert pol == {h: (v[0], v[2]) for h, v in sim.politeness.items()}
+
+
+def test_wap_loop_matches_plain_run(spark, tmp_path_factory):
+    """wap_audit=True stages each batch on a branch, audits the
+    changelog, and publishes — semantics-free when audits pass: final
+    state and snapshot history must be bit-identical to a plain run."""
+    pa = dict(PARAMS)
+    pa["universe"] = 400
+    root_p = str(tmp_path_factory.mktemp("plain"))
+    root_w = str(tmp_path_factory.mktemp("wap"))
+    p = CrawlScheduler(spark, root_p, use_sketch=False, lineage_hashes=False, **pa)
+    w = CrawlScheduler(
+        spark, root_w, use_sketch=False, lineage_hashes=False, wap_audit=True, **pa
+    )
+    p.init(), w.init()
+    for _ in range(2):
+        sp, sw = p.run_batch(), w.run_batch()
+        assert sp == sw
+    assert p.store.snapshot_id == w.store.snapshot_id
+    for t in ("frontier", "seen", "corpus", "politeness"):
+        assert table_state_hash(p.store.read(t)) == table_state_hash(
+            w.store.read(t)
+        ), f"table {t} diverged under WAP"
+    assert w.store.branch_state("wap") is None  # nothing left staged
+
+
+def test_wap_stale_branch_discarded_on_reopen(spark, tmp_path_factory):
+    """A crash between stage and publish leaves an unpublished branch;
+    reopening the scheduler discards it (staged == uncommitted) and the
+    replayed batch lands bit-identically to an uninterrupted run."""
+    pa = dict(PARAMS)
+    pa["universe"] = 400
+    root_a = str(tmp_path_factory.mktemp("wapA"))
+    root_b = str(tmp_path_factory.mktemp("wapB"))
+    a = CrawlScheduler(
+        spark, root_a, use_sketch=False, lineage_hashes=False, wap_audit=True, **pa
+    )
+    a.init()
+    [a.run_batch() for _ in range(2)]
+
+    b1 = CrawlScheduler(
+        spark, root_b, use_sketch=False, lineage_hashes=False, wap_audit=True, **pa
+    )
+    b1.init()
+    b1.run_batch()
+    # simulate the crash: batch 2 staged on the branch but never published
+    st = b1.store
+    staged = st.read("blacklist").unionByName(
+        spark.createDataFrame([(424242,)], "url_hash long")
+    )
+    st.commit({"blacklist": staged}, branch="wap")
+    assert st.branch_state("wap") is not None
+    del b1
+    b2 = CrawlScheduler(
+        spark, root_b, use_sketch=False, lineage_hashes=False, wap_audit=True, **pa
+    )
+    assert b2.store.branch_state("wap") is None  # discarded at reopen
+    b2.init()
+    b2.run_batch()
+    for t in ("frontier", "seen", "corpus", "politeness", "blacklist"):
+        assert table_state_hash(a.store.read(t)) == table_state_hash(
+            b2.store.read(t)
+        ), f"table {t} diverged after stale-branch recovery"

@@ -329,3 +329,79 @@ def test_cow_crash_mid_commit_leaves_head_intact(cow_store, spark):
     assert sorted(r["url_hash"] for r in cow_store.read("blacklist").collect()) == list(range(8))
     cow_store.gc(keep_last=1)
     assert sorted(r["url_hash"] for r in cow_store.read("blacklist").collect()) == list(range(8))
+
+
+# -- write-audit-publish branches (Iceberg WAP) ------------------------------
+
+
+def test_branch_commit_stages_without_moving_head(store, spark):
+    store.commit({"politeness": _pol(spark, [(1, 0, 10, 0, 100)])})
+    sid = store.commit(
+        {"politeness": _pol(spark, [(1, 9, 10, 0, 100), (2, 0, 9, 0, 50)])},
+        branch="audit",
+    )
+    assert sid == 2
+    assert store.snapshot_id == 1  # HEAD unmoved
+    assert store.read("politeness").count() == 1
+    # the staged snapshot is time-travel readable for the audit job
+    assert store.read("politeness", snapshot_id=2).count() == 2
+    # a reopened store sees the same state (pointer files, not memory)
+    re = SnapshotStore(spark, store.root)
+    assert re.snapshot_id == 1
+    assert re.branch_state("audit")["sids"] == [2]
+
+
+def test_branch_publish_fast_forwards_head(store, spark):
+    store.commit({"politeness": _pol(spark, [(1, 0, 10, 0, 100)])})
+    staged = _pol(spark, [(1, 9, 10, 0, 100), (2, 0, 9, 0, 50)])
+    store.commit({"politeness": staged}, branch="audit")
+    sid = store.publish("audit")
+    assert sid == 2 and store.snapshot_id == 2
+    assert table_state_hash(store.read("politeness")) == table_state_hash(staged)
+    assert store.branch_state("audit") is None
+    # life continues: the next main commit takes sid 3
+    assert store.commit({"politeness": _pol(spark, [(3, 0, 1, 0, 1)])}) == 3
+
+
+def test_branch_chain_publishes_whole_history(store, spark):
+    store.commit({"politeness": _pol(spark, [(1, 0, 10, 0, 100)])})
+    store.commit({"politeness": _pol(spark, [(2, 0, 10, 0, 100)])}, branch="audit")
+    store.commit({"politeness": _pol(spark, [(3, 0, 10, 0, 100)])}, branch="audit")
+    assert store.branch_state("audit")["sids"] == [2, 3]
+    store.publish("audit")
+    assert store.snapshot_id == 3
+    # the intermediate staged snapshot is on the published history
+    rows = store.read("politeness", snapshot_id=2).collect()
+    assert [r.host_hash for r in rows] == [2]
+
+
+def test_branch_drop_leaves_main_intact_and_gc_reclaims(store, spark):
+    store.commit({"politeness": _pol(spark, [(1, 0, 10, 0, 100)])})
+    store.commit({"politeness": _pol(spark, [(2, 0, 10, 0, 100)])}, branch="audit")
+    ddir = os.path.join(store.root, "data", "politeness", "snap-00000002")
+    assert os.path.exists(ddir)
+    store.drop_branch("audit")
+    assert store.snapshot_id == 1
+    store.gc(keep_last=2)
+    assert not os.path.exists(ddir)  # staged data reclaimed
+    # the freed sid is reusable by main
+    assert store.commit({"politeness": _pol(spark, [(3, 0, 1, 0, 1)])}) == 2
+    assert store.read("politeness").count() == 1
+
+
+def test_main_commit_collides_with_staged_branch(store, spark):
+    store.commit({"politeness": _pol(spark, [(1, 0, 10, 0, 100)])})
+    store.commit({"politeness": _pol(spark, [(2, 0, 10, 0, 100)])}, branch="audit")
+    with pytest.raises(RuntimeError, match="collision"):
+        store.commit({"politeness": _pol(spark, [(3, 0, 1, 0, 1)])})
+
+
+def test_gc_protects_head_and_active_branch_manifests(store, spark):
+    for k in range(3):
+        store.commit({"politeness": _pol(spark, [(k, 0, 10, 0, 100)])})
+    store.commit({"politeness": _pol(spark, [(9, 0, 10, 0, 100)])}, branch="audit")
+    store.gc(keep_last=1)
+    # HEAD (sid 3) and the staged branch manifest (sid 4) both survive
+    assert store.read("politeness").count() == 1
+    store.publish("audit")
+    assert [r.host_hash for r in store.read("politeness").collect()] == [9]
