@@ -55,7 +55,7 @@ K_URLS = 72_000
 # (stage scheduling for 64 tasks x 3 stages, noop commit barrier) are <5%
 # of the measurement — at 8M they were ~10% and read as fake inefficiency
 M_FRONTIER = 24_000_000
-D_DOCS = 64_000  # ~50-word docs; ~13 s at 8 cores (overhead <5%)
+D_DOCS = int(os.environ.get("BENCH_D_DOCS", 64_000))  # ~50-word docs
 CORES = (2, 8)
 REPEATS = 3   # best-of within one JVM
 PASSES = 3    # full passes; per-cell median across passes (shared host)
@@ -143,15 +143,16 @@ def _job_pop(cores: int) -> dict:
             "per_sec": round(M_FRONTIER / best, 1)}
 
 
-def _job_minhash(cores: int) -> dict:
+def _minhash_frames(spark):
+    """Shared fixture for the minhash jobs: synthetic docs -> 8-lane
+    array-land signatures (sig), plus a pairs() callable running the
+    ENGINE's lsh_band_pairs plan over the given signature frame."""
     from pyspark.sql import functions as F
 
     from crawler_spark.queries_ml import (
         _LSH_BANDS, _LSH_BUCKET_CAP, _MASK60, _MINHASH_LANES,
         _shingles, lsh_band_pairs,
     )
-
-    spark = _session(cores)
     # synthetic ~50-word docs from a 500-token vocab, generated JVM-side
     # (generation scales with the same parallelism as the measured work,
     # like the fetch job's synthetic pages); fixed input splits as above
@@ -188,13 +189,7 @@ def _job_minhash(cores: int) -> dict:
         ],
     )
 
-    def run():
-        # like the registry query: signatures are materialized ONCE
-        # (persist), then the 4 band views read the cache — without it
-        # the whole md5/conv tree re-evaluates per band
-        sig.unpersist(blocking=True)
-        sig.persist()
-        _noop(sig)  # timed: the signature computation itself
+    def pairs():
         bands = None
         for b in range(_LSH_BANDS):
             one = sig.select(
@@ -207,6 +202,22 @@ def _job_minhash(cores: int) -> dict:
         # the registry query and the crawl loop's full dedup run
         _noop(lsh_band_pairs(bands, _LSH_BUCKET_CAP))
 
+    return sig, pairs
+
+
+def _job_minhash(cores: int) -> dict:
+    spark = _session(cores)
+    sig, pairs = _minhash_frames(spark)
+
+    def run():
+        # like the registry query: signatures are materialized ONCE
+        # (persist), then the 4 band views read the cache — without it
+        # the whole md5/conv tree re-evaluates per band
+        sig.unpersist(blocking=True)
+        sig.persist()
+        _noop(sig)  # timed: the signature computation itself
+        pairs()
+
     run()  # warmup
     best = None
     for _ in range(REPEATS):
@@ -218,16 +229,59 @@ def _job_minhash(cores: int) -> dict:
             "per_sec": round(D_DOCS / best, 1)}
 
 
+def _job_minhash_phases(cores: int) -> dict:
+    """Root-cause probe (not part of the default harness run): time the
+    minhash job's two phases SEPARATELY — `sig` = the md5/conv signature
+    build (string/allocation heavy; candidate for the host's
+    memory-bandwidth ceiling) and `pairs` = the engine's lsh_band_pairs
+    posting plan over CACHED signatures (the code that actually ships).
+    Run at both core levels:
+
+        taskset -c 0-1 python bench_scaling.py --job minhash_phases --cores 2
+        taskset -c 0-7 python bench_scaling.py --job minhash_phases --cores 8
+
+    per-phase efficiency = (secs_N / secs_4N) / (4N/N)."""
+    spark = _session(cores)
+    sig, pairs = _minhash_frames(spark)
+
+    def run_sig():
+        sig.unpersist(blocking=True)
+        sig.persist()
+        _noop(sig)
+
+    run_sig()
+    pairs()  # warmup both
+    best = {"sig": None, "pairs": None}
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        run_sig()
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pairs()  # reads the warm cache: isolates the pair plan
+        tp = time.perf_counter() - t0
+        best["sig"] = ts if best["sig"] is None else min(best["sig"], ts)
+        best["pairs"] = tp if best["pairs"] is None else min(best["pairs"], tp)
+    return {
+        "cores": cores,
+        "sig_secs": round(best["sig"], 3),
+        "pairs_secs": round(best["pairs"], 3),
+    }
+
+
 JOBS = {"fetch": _job_fetch, "pop": _job_pop, "minhash": _job_minhash}
+PROBE_JOBS = {"minhash_phases": _job_minhash_phases}
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--job", choices=list(JOBS), default=None)
+    p.add_argument(
+        "--job", choices=list(JOBS) + list(PROBE_JOBS), default=None
+    )
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args()
     if args.job:
-        print("RESULT " + json.dumps(JOBS[args.job](args.cores)), flush=True)
+        fn = JOBS.get(args.job) or PROBE_JOBS[args.job]
+        print("RESULT " + json.dumps(fn(args.cores)), flush=True)
         return
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -296,9 +350,12 @@ def main() -> None:
     if os.path.exists(bench_md):
         with open(bench_md) as f:
             old = f.read()
-        marker = "\n## Round-over-round baseline"
-        if marker in old:
-            preserved = marker + old.split(marker, 1)[1]
+        # keep everything from the first hand-maintained section on
+        # (cross-run variance table, round-over-round baseline)
+        for marker in ("\n### Cross-run variance", "\n## Round-over-round baseline"):
+            if marker in old:
+                preserved = marker + old.split(marker, 1)[1]
+                break
     with open(bench_md, "w") as f:
         f.write(
             "# BENCH — scaling evidence (N vs 4N parallelism)\n\n"
@@ -326,8 +383,9 @@ def main() -> None:
             f"path, payload bytes never shuffled); frontier pop over\n"
             f"{M_FRONTIER:,} rows (ready filter -> per-host window rank);\n"
             f"minhash+LSH dedup over {D_DOCS:,} synthetic ~50-word docs\n"
-            "(array-land signatures -> band self-join — the training-data\n"
-            "dedup axis).\n\n"
+            "(array-land signatures -> the engine's lsh_band_pairs\n"
+            "spill-safe windowed posting build — the training-data dedup\n"
+            "axis).\n\n"
             f"| job | local[{n}] | local[{n4}] | speedup | efficiency (target >= 0.8) |\n"
             "|---|---|---|---|---|\n"
             f"| fetch+decode (URLs/s) | {results['fetch'][n]['per_sec']:,} | "

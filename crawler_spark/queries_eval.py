@@ -401,3 +401,111 @@ def q_minhash_calibration(spark, sf_dir):
             .alias("exact_jaccard"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# IVF partition-balance report
+# ---------------------------------------------------------------------------
+# ann_recall_report measures RECALL; this measures the other failure
+# axis of an IVF layout: partition skew. A hot cell is the ANN analogue
+# of a hot shuffle key — probe cost and index-maintenance I/O both scale
+# with the loaded cell, not the average one, so the load_ratio column is
+# the number an operator alerts on before re-training the quantizer.
+# Same Lloyd's chain and 6dp/9dp rounding lockstep as ivf_train_kmeans;
+# the report itself is one groupBy over the final assignment (distances
+# come from the SAME frame the argmin rank already computed).
+
+from crawler_spark.queries_media import _KM_DIM, _KM_ITERS, _KM_K, _km_iter_sql
+
+_BAL_SQL = """
+    WITH e AS (
+      SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS val
+      FROM embeddings, LATERAL unnest(range(1, {dimp1})) AS t(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cell, dim, round(1e-9 + val, 6) AS v
+      FROM e WHERE vec_id BETWEEN 1 AND {k}
+    ),
+    {iters},
+    df AS (
+      SELECT e.vec_id, c.cell,
+             round(1e-12 + sum((e.val - c.v) * (e.val - c.v)), 9) AS d
+      FROM e JOIN c{last} c USING (dim) GROUP BY e.vec_id, c.cell
+    ),
+    af AS (
+      SELECT vec_id, cell, d FROM (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cell ASC) AS rk
+        FROM df
+      ) WHERE rk = 1
+    ),
+    per AS (
+      SELECT cell, count(*) AS n_members,
+             round(1e-9 + avg(d), 6) AS avg_d,
+             round(1e-9 + max(d), 6) AS max_d
+      FROM af GROUP BY cell
+    )
+    SELECT cell, n_members, avg_d, max_d,
+           round(1e-9 + n_members / (avg(n_members) OVER ()), 4) AS load_ratio
+    FROM per
+""".format(
+    dimp1=_KM_DIM + 1, k=_KM_K, last=_KM_ITERS,
+    iters=",".join(_km_iter_sql(i) for i in range(1, _KM_ITERS + 1)).lstrip(",\n "),
+)
+
+
+@register("ivf_balance_report", _BAL_SQL)
+def q_ivf_balance_report(spark, sf_dir):
+    """Per trained-IVF-cell load report: member count, mean/max squared
+    distance to the centroid, and load relative to the mean cell — the
+    skew gauge for the index partition layout. Lloyd's chain identical
+    to ivf_train_kmeans; distances reuse the argmin frame."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "val0")
+    ).select(
+        "vec_id", (F.col("dim0") + 1).alias("dim"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    c = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KM_K)).select(
+        F.col("vec_id").alias("cell"), "dim",
+        F.round(F.col("val") + F.lit(1e-9), 6).alias("v"),
+    )
+
+    def assign(cents):
+        d = (
+            e.join(cents, "dim")
+            .groupBy("vec_id", "cell")
+            .agg(F.round(
+                F.sum((F.col("val") - F.col("v")) * (F.col("val") - F.col("v")))
+                + F.lit(1e-12), 9).alias("d"))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cell").asc())
+        )
+        return d.withColumn("rk", rk).filter(F.col("rk") == 1)
+
+    for _ in range(_KM_ITERS):
+        a = assign(c).select("vec_id", "cell")
+        n = (
+            e.join(a, "vec_id")
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("val") + F.lit(1e-9), 6).alias("v2"))
+        )
+        c = c.join(n, ["cell", "dim"], "left").select(
+            "cell", "dim", F.coalesce("v2", "v").alias("v")
+        )
+    af = assign(c)
+    per = af.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("d") + F.lit(1e-9), 6).alias("avg_d"),
+        F.round(F.max("d") + F.lit(1e-9), 6).alias("max_d"),
+    )
+    ratio = F.round(
+        F.col("n_members") / F.avg("n_members").over(Window.partitionBy())
+        + F.lit(1e-9),
+        4,
+    )
+    return per.select(
+        "cell", "n_members", "avg_d", "max_d", ratio.alias("load_ratio")
+    )

@@ -686,6 +686,35 @@ class SnapshotStore:
         df = self.read(table)
         return self.commit({table: df})
 
+    def rebucket(self, table: str, n: int) -> int:
+        """Partition evolution (Iceberg's bucket-spec change): rewrite
+        `table` under a new bucket count and persist the new spec in the
+        manifest — the ops move for a CoW table that outgrew its layout
+        (a 10^10-row frontier wants more buckets than it was born with).
+        One O(table) rewrite job; every other table carries forward, and
+        content is layout-independent (state hash unchanged). Subsequent
+        plan_merge/commit calls hash into the NEW buckets; time-travel
+        reads of older snapshots keep using their own manifests' bucket
+        maps. A CDC diff across the respec boundary sees every bucket
+        path as changed and degrades to a full-compare — correct, just
+        unpruned for that one interval.
+
+        Caveat: the `seen` table's bucket count is COUPLED to the sketch
+        shard count (dirty buckets == dirty shards); rebucket it only
+        together with a scheduler reopen at the matching n_shards and a
+        sketch rebuild."""
+        spec = self.bucket_spec.get(table)
+        if spec is None:
+            raise KeyError(f"{table!r} has no bucket spec to evolve")
+        if spec.get("mode") != "hash":
+            raise ValueError(f"rebucket supports hash mode, not {spec.get('mode')!r}")
+        df = self.read(table)
+        self.bucket_spec = {**self.bucket_spec, table: {**spec, "n": int(n)}}
+        # invalidate label-keyed incremental state derived from the OLD
+        # layout (the scheduler's per-bucket lineage sums use this
+        # convention: None => the next consumer pays one full pass)
+        return self.commit({table: df}, properties={f"{table}_bucket_hashes": None})
+
     # -- retention ----------------------------------------------------------
 
     def gc(self, keep_last: int = 2) -> dict:

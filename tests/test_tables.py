@@ -405,3 +405,31 @@ def test_gc_protects_head_and_active_branch_manifests(store, spark):
     assert store.read("politeness").count() == 1
     store.publish("audit")
     assert [r.host_hash for r in store.read("politeness").collect()] == [9]
+
+
+# -- partition evolution (bucket respec) --------------------------------------
+
+
+def test_rebucket_preserves_content_and_evolves_layout(cow_store, spark):
+    cow_store.commit({"blacklist": _bl(spark, range(16))})  # 4 buckets
+    h0 = table_state_hash(cow_store.read("blacklist"))
+    sid = cow_store.rebucket("blacklist", 8)
+    assert sid == 2
+    assert _bucket_dirs(cow_store, 2) == sorted(f"__bucket={i}" for i in range(8))
+    assert table_state_hash(cow_store.read("blacklist")) == h0
+    # subsequent merges hash into the NEW layout (key 5 pmod 8 -> bucket 5)
+    plan = cow_store.plan_merge("blacklist", upsert=_bl(spark, [5]), key="url_hash")
+    assert plan.dirty == ["5"]
+    cow_store.commit({}, merge={"blacklist": plan})
+    assert table_state_hash(cow_store.read("blacklist")) == h0
+    # the new spec is persisted: a reopened store sees n=8
+    re = SnapshotStore(spark, cow_store.root)
+    assert re.bucket_spec["blacklist"]["n"] == 8
+    # time travel to the pre-respec snapshot reads the OLD layout intact
+    old = re.read("blacklist", snapshot_id=1)
+    assert sorted(r["url_hash"] for r in old.collect()) == list(range(16))
+
+
+def test_rebucket_rejects_unbucketed_and_value_mode(cow_store, spark):
+    with pytest.raises(KeyError):
+        cow_store.rebucket("frontier", 8)  # not in this store's spec
