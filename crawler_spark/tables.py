@@ -69,9 +69,14 @@ def crawl_bucket_spec(n_shards: int = 16, n_buckets: int = 16) -> dict:
         # footers into the manifest at commit time; the pop's ready scan
         # (next_fetch_ts <= as_of) skips buckets whose min lies in the
         # future without opening a file
+        # `sort` = write sort order within each bucket's files: the pop's
+        # ready scan (next_fetch_ts <= as_of) then skips row groups via
+        # parquet footer min/max inside the buckets the manifest stats
+        # couldn't prune — dormant rows cost no decode even when they
+        # share a bucket with ready ones
         "frontier": {
             "mode": "hash", "key": "url_hash", "n": n_buckets,
-            "stats": ["next_fetch_ts"],
+            "stats": ["next_fetch_ts"], "sort": ["next_fetch_ts"],
         },
         "seen": {"mode": "hash", "key": "url_hash", "n": n_shards},
         "pages": {"mode": "hash", "key": "url_hash", "n": n_buckets},
@@ -206,6 +211,123 @@ class SnapshotStore:
     def snapshot_id(self) -> int:
         return self.current_manifest()["snapshot_id"]
 
+    # -- schema evolution ----------------------------------------------------
+
+    def _schema_fields(self, table: str, m: dict) -> list[dict] | None:
+        """The evolved [{"name", "type"}] list recorded in manifest `m`,
+        or None when the table still uses its compiled TABLE_SCHEMAS
+        shape (the common case — every read/write path below keeps its
+        exact legacy plan when this is None)."""
+        return m.get("schemas", {}).get(table)
+
+    def table_schema(self, table: str, snapshot_id: int | None = None):
+        """Schema of `table` AT a snapshot (Iceberg: the schema is part
+        of the table metadata, versioned with it — time travel reads old
+        data with the old shape). Falls back to TABLE_SCHEMAS when the
+        table has never been evolved."""
+        from pyspark.sql.types import StructType
+
+        m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
+        ev = self._schema_fields(table, m)
+        if ev is None:
+            return TABLE_SCHEMAS[table]
+        return StructType.fromDDL(", ".join(f"{f['name']} {f['type']}" for f in ev))
+
+    def _reconcile(self, df: DataFrame, table: str, m: dict) -> DataFrame:
+        """Project a raw parquet read onto the manifest's evolved schema:
+        columns added after a bucket was written surface as typed NULLs
+        (Iceberg v1/v2 add-column semantics — no data rewrite, old rows
+        read as null), dropped columns are omitted, order is canonical.
+        A pure projection — no shuffle, pushdown/pruning unaffected."""
+        ev = self._schema_fields(table, m)
+        if ev is None:
+            return df
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f["name"]).cast(f["type"])
+                if f["name"] in have
+                else F.lit(None).cast(f["type"]).alias(f["name"])
+                for f in ev
+            ]
+        )
+
+    def evolve(
+        self, table: str, add: list[tuple[str, str]] | None = None,
+        drop: list[str] | None = None,
+    ) -> int:
+        """Schema evolution as a METADATA-ONLY commit (Iceberg
+        ALTER TABLE ADD/DROP COLUMNS): no data file is touched — the new
+        manifest carries every table entry forward by reference and
+        records the new column list; readers reconcile old buckets at
+        scan time (added cols read as typed NULLs) and the next CoW merge
+        rewrites only its dirty buckets in the new shape (lazy
+        migration). At 10^10 rows an ALTER costs one manifest write, not
+        a table rewrite. `add` = [(name, spark DDL type)], applied after
+        `drop`. Time travel keeps the schema-at-snapshot contract:
+        reading an old sid returns the old shape. Main-branch only (an
+        evolve is never staged — publish/drop any WAP branch first)."""
+        add, drop = list(add or []), list(drop or [])
+        cur = [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in self.table_schema(table)
+        ]
+        names = {f["name"] for f in cur}
+        unknown = set(drop) - names
+        if unknown:
+            raise KeyError(f"cannot drop unknown columns {sorted(unknown)}")
+        spec = self.bucket_spec.get(table)
+        protected = {spec["key"], *(spec.get("stats") or [])} if spec else set()
+        bad = protected & set(drop)
+        if bad:
+            raise ValueError(f"cannot drop bucket-spec columns {sorted(bad)}")
+        dup = (names - set(drop)) & {n for n, _ in add}
+        if dup:
+            raise ValueError(f"columns already exist: {sorted(dup)}")
+        new = [f for f in cur if f["name"] not in set(drop)] + [
+            {"name": n, "type": t} for n, t in add
+        ]
+        return self.commit({}, schemas={table: new})
+
+    # -- merge-on-read equality deletes --------------------------------------
+
+    def _apply_deletes(self, df: DataFrame, table: str, m: dict) -> DataFrame:
+        """Subtract the manifest's pending equality-delete files (Iceberg
+        v2 merge-on-read): one anti-join on the table's bucket key per
+        read. No-op (and no plan change) when no deletes are pending —
+        the loop's CoW hot path never pays for this."""
+        ent = m["tables"].get(table) or {}
+        dels = ent.get("deletes")
+        if not dels:
+            return df
+        ks = dels[0]["key"]
+        kdf = self.spark.read.parquet(
+            *sorted(os.path.join(self.root, d["path"]) for d in dels)
+        )
+        return df.join(kdf.select(*ks).distinct(), ks, "left_anti")
+
+    def mor_delete(self, table: str, keys: DataFrame, branch: str | None = None) -> int:
+        """DELETE as merge-on-read (Iceberg v2 equality deletes): write
+        the doomed KEYS as a small delete file and record it in the
+        manifest — no data bucket is rewritten; readers subtract the
+        keys with an anti-join until the deletes RETIRE. Retirement is
+        incremental and automatic: a CoW merge that rewrites bucket L
+        drops every pending key hashing to L (the rewritten bucket is
+        already post-delete truth — and a key RE-INSERTED by that merge
+        must stop being deleted, which this gives exactly); compact() /
+        rebucket() / a full write retire everything.
+
+        The bulk-revocation primitive at 10^10 rows: purging 10^6 URLs
+        spread over every bucket costs O(keys) commit I/O instead of an
+        O(table) rewrite, and the cost is repaid lazily as buckets get
+        rewritten by normal crawl traffic. Keys must be the table's
+        bucket key (that is what lets deletes retire per-bucket and the
+        CDC diff prune to the keys' buckets)."""
+        spec = self.bucket_spec.get(table)
+        if spec is None:
+            raise KeyError(f"merge-on-read delete needs a bucketed table, not {table!r}")
+        return self.commit({}, branch=branch, _mor_delete={table: keys})
+
     # -- read ---------------------------------------------------------------
 
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
@@ -213,21 +335,34 @@ class SnapshotStore:
         (time travel). Missing table -> empty DataFrame with its schema.
         Append-mode tables read as the union of their delta files;
         bucketed tables as the union of their bucket dirs (which may live
-        in different snap dirs — that IS the copy-on-write)."""
+        in different snap dirs — that IS the copy-on-write). Evolved
+        tables read with parquet schema merging + a reconciling
+        projection; never-evolved tables keep the exact legacy plan."""
         m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
         ent = m["tables"].get(table)
+        evolved = self._schema_fields(table, m) is not None
         if ent is None or ent.get("path") == _EMPTY:
-            return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+            return self.spark.createDataFrame(
+                [], self.table_schema(table, snapshot_id) if evolved else TABLE_SCHEMAS[table]
+            )
         if "buckets" in ent:
             paths = [os.path.join(self.root, p) for p in ent["buckets"].values()]
-            if not paths:
-                return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
-            return self.spark.read.parquet(*sorted(paths))
-        if "paths" in ent:
-            return self.spark.read.parquet(
-                *[os.path.join(self.root, p) for p in ent["paths"]]
+        elif "paths" in ent:
+            paths = [os.path.join(self.root, p) for p in ent["paths"]]
+        else:
+            paths = [os.path.join(self.root, ent["path"])]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], self.table_schema(table, snapshot_id) if evolved else TABLE_SCHEMAS[table]
             )
-        return self.spark.read.parquet(os.path.join(self.root, ent["path"]))
+        reader = self.spark.read
+        if evolved:
+            # buckets written under different schema versions coexist;
+            # merge their footers so pre-evolution files surface NULLs
+            reader = reader.option("mergeSchema", "true")
+        return self._apply_deletes(
+            self._reconcile(reader.parquet(*sorted(paths)), table, m), table, m
+        )
 
     def _bucket_map(self, table: str, snapshot_id: int | None = None) -> dict[str, str]:
         """label -> data dir (relative) for a bucketed table; {} if the
@@ -240,11 +375,21 @@ class SnapshotStore:
         """Read ONLY the named buckets of a bucketed table — the pruning
         primitive behind plan_merge: a MERGE scans the dirty buckets'
         files, never the whole table."""
-        bm = self._bucket_map(table, snapshot_id)
+        m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
+        ent = m["tables"].get(table)
+        bm = dict(ent.get("buckets", {})) if ent else {}
+        evolved = self._schema_fields(table, m) is not None
         paths = [os.path.join(self.root, bm[str(b)]) for b in labels if str(b) in bm]
         if not paths:
-            return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
-        return self.spark.read.parquet(*sorted(paths))
+            return self.spark.createDataFrame(
+                [], self.table_schema(table, snapshot_id) if evolved else TABLE_SCHEMAS[table]
+            )
+        reader = self.spark.read
+        if evolved:
+            reader = reader.option("mergeSchema", "true")
+        return self._apply_deletes(
+            self._reconcile(reader.parquet(*sorted(paths)), table, m), table, m
+        )
 
     def _bucket_expr(self, table: str):
         """Deterministic bucket label for a row of `table` (STRING — it
@@ -308,14 +453,29 @@ class SnapshotStore:
         buckets read by reference + the plan's merged dirty rows. Used
         for whole-table derivations (global lineage hash); costs an
         O(table) READ, never a rewrite."""
+        m = self.current_manifest()
         bm = self._bucket_map(plan.table)
         dirty = set(plan.dirty)
         paths = [os.path.join(self.root, p) for lbl, p in bm.items() if lbl not in dirty]
-        cols = [f.name for f in TABLE_SCHEMAS[plan.table].fields]
+        schema = self.table_schema(plan.table)
+        cols = [f.name for f in schema.fields]
+        evolved = self._schema_fields(plan.table, m) is not None
         if paths:
-            clean = self.spark.read.parquet(*sorted(paths))
+            reader = self.spark.read
+            if evolved:
+                reader = reader.option("mergeSchema", "true")
+            # pending MoR deletes apply to the CLEAN slice only: a key
+            # hashing to a dirty bucket is being resolved by this very
+            # plan (plan_merge read post-delete state, so plan.merged is
+            # already truth — subtracting there would wrongly kill rows
+            # the plan re-inserts)
+            clean = self._apply_deletes(
+                self._reconcile(reader.parquet(*sorted(paths)), plan.table, m),
+                plan.table,
+                m,
+            )
         else:
-            clean = self.spark.createDataFrame([], TABLE_SCHEMAS[plan.table])
+            clean = self.spark.createDataFrame([], schema)
         return clean.select(*cols).unionByName(plan.merged.select(*cols))
 
     def properties(self, snapshot_id: int | None = None) -> dict:
@@ -391,13 +551,30 @@ class SnapshotStore:
         identical content — no file needs opening to prove it. Labels
         present in only one manifest (bucket born / emptied) count as
         changed."""
-        old_bm = self._bucket_map(table, from_sid)
-        new_bm = self._bucket_map(table, to_sid)
-        return sorted(
+        old_ent = self.manifest_at(from_sid)["tables"].get(table) or {}
+        new_ent = self.manifest_at(to_sid)["tables"].get(table) or {}
+        old_bm = dict(old_ent.get("buckets", {}))
+        new_bm = dict(new_ent.get("buckets", {}))
+        labels = {
             lbl
             for lbl in set(old_bm) | set(new_bm)
             if old_bm.get(lbl) != new_bm.get(lbl)
-        )
+        }
+        # merge-on-read deletes change content WITHOUT touching a data
+        # dir: any delete file added between the snapshots marks the
+        # buckets its keys hash into (keys ARE the bucket key, so the
+        # label set is exact; bounded by the bucket count)
+        old_del = {d["path"] for d in old_ent.get("deletes", [])}
+        added = [d for d in new_ent.get("deletes", []) if d["path"] not in old_del]
+        if added:
+            kdf = self.spark.read.parquet(
+                *sorted(os.path.join(self.root, d["path"]) for d in added)
+            )
+            bexpr = self._bucket_expr(table)
+            labels |= {
+                r["b"] for r in kdf.select(bexpr.alias("b")).distinct().collect()
+            }
+        return sorted(labels)
 
     def diff(self, table: str, key, from_sid: int, to_sid: int) -> DataFrame:
         """Row-level changelog of `table` between two retained snapshots
@@ -423,6 +600,22 @@ class SnapshotStore:
         else:
             old = self.read(table, snapshot_id=from_sid)
             new = self.read(table, snapshot_id=to_sid)
+        if old.columns != new.columns:
+            # schema evolved between the snapshots: the changelog speaks
+            # the TO-side schema (Iceberg changelog contract) — the old
+            # image gains typed NULLs for added columns, loses dropped
+            # ones (an edit visible only in a dropped column emits
+            # nothing). An evolve alone rewrites no dir, so the pruned
+            # path still reads zero buckets for it.
+            have = set(old.columns)
+            old = old.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in self.table_schema(table, to_sid).fields
+                ]
+            )
         return cdc_diff(old, new, key)
 
     # -- write --------------------------------------------------------------
@@ -491,15 +684,24 @@ class SnapshotStore:
         # canonical column order in the files: joins move key columns to
         # the front of a DataFrame, and a drifting file order would make
         # column-order-sensitive derivations (table_state_hash) disagree
-        # across snapshots
-        cols = [f.name for f in TABLE_SCHEMAS[name].fields]
+        # across snapshots. Schema-at-HEAD: post-evolution commits write
+        # the evolved shape (old buckets reconcile at read time).
+        cols = [f.name for f in self.table_schema(name).fields]
         out = df.select(*cols).withColumn(_BUCKET_COL, self._bucket_expr(name))
-        (
-            out.repartition(max(1, n_tasks), _BUCKET_COL)
-            .write.partitionBy(_BUCKET_COL)
-            .mode("overwrite")
-            .parquet(full)
-        )
+        part = out.repartition(max(1, n_tasks), _BUCKET_COL)
+        # write SORT ORDER (Iceberg table sort order): cluster each
+        # bucket's file on the spec's `sort` columns so parquet row-group
+        # min/max on those columns are tight and disjoint — the scan-side
+        # complement of the manifest stats: pruned_labels skips whole
+        # buckets, and inside a surviving file the pushed range predicate
+        # skips row groups/pages. Task-local sort (no extra shuffle); the
+        # bucket label leads the key so each output file stays one sorted
+        # run even when a task holds several buckets. Content hashes are
+        # order-independent (table_state_hash), so this is layout-only.
+        sort_cols = self.bucket_spec[name].get("sort") or []
+        if sort_cols:
+            part = part.sortWithinPartitions(_BUCKET_COL, *sort_cols)
+        part.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(full)
         bmap = {
             d.split("=", 1)[1]: os.path.join(rel, d)
             for d in os.listdir(full)
@@ -515,6 +717,8 @@ class SnapshotStore:
         append: dict[str, DataFrame] | None = None,
         merge: dict[str, MergePlan] | None = None,
         branch: str | None = None,
+        schemas: dict[str, list[dict]] | None = None,
+        _mor_delete: dict[str, DataFrame] | None = None,
     ) -> int:
         """Atomically commit new versions of `changed` tables; every other
         table is carried forward from the previous snapshot unchanged.
@@ -563,6 +767,9 @@ class SnapshotStore:
         merge = merge or {}
         overlap = (set(changed) | set(merge)) & set(append or {})
         overlap |= set(changed) & set(merge)
+        overlap |= set(_mor_delete or {}) & (
+            set(changed) | set(merge) | set(append or {})
+        )
         if overlap:
             raise ValueError(f"tables in multiple commit modes: {sorted(overlap)}")
 
@@ -583,7 +790,7 @@ class SnapshotStore:
             rel = os.path.join("data", name, f"snap-{sid:08d}")
             full = os.path.join(self.root, rel)
             pcols = partition_by.get(name)
-            df = df.select(*[f.name for f in TABLE_SCHEMAS[name].fields])
+            df = df.select(*[f.name for f in self.table_schema(name).fields])
             # bound output file count: one commit never fans out to more
             # files than files_per_table per partition value
             writer = df.repartition(self.files_per_table).write
@@ -613,6 +820,30 @@ class SnapshotStore:
             ent = {"buckets": bm}
             if stats:
                 ent["stats"] = stats
+            # retire merge-on-read deletes per-bucket: a key hashing into
+            # a just-rewritten bucket is resolved (the new bucket is
+            # post-delete truth — and if this merge re-inserted the key,
+            # the delete MUST stop applying); keys in untouched buckets
+            # stay pending, consolidated into one delete file
+            dels = (prev["tables"].get(name) or {}).get("deletes")
+            if dels:
+                ks = dels[0]["key"]
+                pend = (
+                    self.spark.read.parquet(
+                        *sorted(os.path.join(self.root, d["path"]) for d in dels)
+                    )
+                    .select(*ks)
+                    .distinct()
+                    .withColumn("__b", self._bucket_expr(name))
+                    .filter(~F.col("__b").isin(list(plan.dirty)))
+                    .drop("__b")
+                )
+                if pend.limit(1).count():
+                    rel = os.path.join("data", name, f"snap-{sid:08d}-del")
+                    pend.coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(self.root, rel)
+                    )
+                    ent["deletes"] = [{"path": rel, "key": ks}]
             return name, ent
 
         # table writes are independent Spark jobs on disjoint output dirs:
@@ -646,6 +877,22 @@ class SnapshotStore:
             else:
                 prev_paths = []
             tables[name] = {"paths": prev_paths + [rel]}
+        for name, kdf in (_mor_delete or {}).items():
+            # equality-delete file (Iceberg v2 MoR): the doomed keys land
+            # as one small parquet; no data bucket is touched — readers
+            # anti-join until the keys retire (see mor_delete docstring)
+            ent = dict(tables.get(name) or {})
+            if "buckets" not in ent:
+                raise ValueError(
+                    f"mor_delete targets bucketed table {name!r} with existing data"
+                )
+            ks = _keys(self.bucket_spec[name]["key"])
+            rel = os.path.join("data", name, f"snap-{sid:08d}-del")
+            kdf.select(*ks).distinct().coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.root, rel)
+            )
+            ent["deletes"] = list(ent.get("deletes", [])) + [{"path": rel, "key": ks}]
+            tables[name] = ent
         props = dict(prev.get("properties", {}))
         props.update(properties or {})
         manifest = {
@@ -655,6 +902,13 @@ class SnapshotStore:
             "properties": props,
             "bucket_spec": self.bucket_spec,
         }
+        # evolved schemas ride the manifest like properties do: carried
+        # forward verbatim, updated only by evolve(); absent for stores
+        # that never evolved (legacy manifests stay byte-compatible)
+        schema_map = dict(prev.get("schemas", {}))
+        schema_map.update(schemas or {})
+        if schema_map:
+            manifest["schemas"] = schema_map
         tmp = os.path.join(self.root, "manifests", f".{mname}.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -745,11 +999,12 @@ class SnapshotStore:
             with open(os.path.join(mdir, name)) as f:
                 m = json.load(f)
             for ent in m["tables"].values():
+                referenced.update(d["path"] for d in ent.get("deletes", []))
                 if "paths" in ent:
                     referenced.update(ent["paths"])
                 elif "buckets" in ent:
                     referenced.update(ent["buckets"].values())
-                elif ent["path"] != _EMPTY:
+                elif ent.get("path", _EMPTY) != _EMPTY:
                     referenced.add(ent["path"])
         removed_dirs = 0
         data_root = os.path.join(self.root, "data")

@@ -124,3 +124,70 @@ def test_unbucketed_table_read_where_falls_back(spark, tmp_path):
     assert store.pruned_labels("politeness", "used_quota", 0, 15) is None
     got = [r["host_hash"] for r in store.read_where("politeness", "used_quota", 0, 15).collect()]
     assert got == [1]
+
+
+# ---------------------------------------------------------------------------
+# write sort order (Iceberg table sort order): the spec's `sort` columns
+# cluster each bucket's files so parquet row-group/page stats on those
+# columns are tight — the in-file complement of manifest-stats pruning
+# ---------------------------------------------------------------------------
+
+
+def test_sort_spec_clusters_files_without_changing_content(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from crawler_spark.tables import table_state_hash
+
+    rows = [(k, (k * 37) % 50) for k in range(64)]  # quota scrambled vs key
+    specs = {
+        "plain": {"politeness": {"mode": "hash", "key": "host_hash", "n": 4}},
+        "sorted": {
+            "politeness": {
+                "mode": "hash", "key": "host_hash", "n": 4, "sort": ["used_quota"]
+            }
+        },
+    }
+    hashes, monotone = {}, {}
+    for name, spec in specs.items():
+        st = SnapshotStore(spark, str(tmp_path / name), bucket_spec=spec)
+        st.commit({"politeness": _pol(spark, rows)})
+        hashes[name] = table_state_hash(st.read("politeness"))
+        ok = []
+        for lbl, rel in st._bucket_map("politeness").items():
+            d = os.path.join(st.root, rel)
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                col = pq.read_table(os.path.join(d, fn), columns=["used_quota"])
+                vals = col.column("used_quota").to_pylist()
+                ok.append(vals == sorted(vals))
+        monotone[name] = all(ok)
+    # layout-only: identical content either way …
+    assert hashes["plain"] == hashes["sorted"]
+    # … but the sort spec makes every file one sorted run (tight,
+    # disjoint row-group stats for the scan's pushed range predicate);
+    # the scrambled input proves plain writes do NOT get this for free
+    assert monotone["sorted"] and not monotone["plain"]
+
+
+def test_sorted_frontier_pop_parity_with_default_spec(spark, tmp_path):
+    # the crawl spec now sorts frontier files by next_fetch_ts; a CoW
+    # merge through the sorted layout must keep bit-identical content
+    from crawler_spark.tables import crawl_bucket_spec, table_state_hash
+
+    def build(tag, spec):
+        st = SnapshotStore(spark, str(tmp_path / f"fp_{tag}"), bucket_spec=spec)
+        base = _seen(spark, [(k, 1 + k % 20) for k in range(40)])
+        st.commit({"seen": base})
+        upd = _seen(spark, [(3, 25), (7, 26)])
+        st.commit({}, merge={"seen": st.plan_merge("seen", upsert=upd, key="url_hash")})
+        return table_state_hash(st.read("seen"))
+
+    sortspec = {
+        "seen": {"mode": "hash", "key": "url_hash", "n": 4, "sort": ["decided_at_ts"]}
+    }
+    plainspec = {"seen": {"mode": "hash", "key": "url_hash", "n": 4}}
+    assert build("sorted", sortspec) == build("plain", plainspec)
+    assert "sort" in crawl_bucket_spec()["frontier"]
