@@ -1429,3 +1429,53 @@ def q_training_sequence_pack(spark, sf_dir):
             F.sum("n_tokens") / F.lit(float(_PACK_BUDGET)) + F.lit(1e-9), 4
         ).alias("fill_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality filter (unigram LM trained on the corpus itself)
+# ---------------------------------------------------------------------------
+
+_LM_SQL = """
+    WITH w AS (
+      SELECT doc_id, unnest({words}) AS w FROM documents
+    ),
+    tf AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM tf),
+    lp AS (
+      SELECT w, ln((c + 1.0) / (n + v)) AS logp FROM tf CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(1e-9 + avg(-logp), 4) AS nll
+    FROM w JOIN lp USING (w)
+    GROUP BY doc_id
+""".format(words=WORDS_SQL.format(x="text"))
+
+
+@register("text_lm_perplexity", _LM_SQL)
+def q_text_lm_perplexity(spark, sf_dir):
+    """Unigram-LM negative log likelihood per document (the CCNet/
+    RefinedWeb LM quality gate, self-trained): add-one-smoothed unigram
+    probabilities from the corpus' own token counts, per-doc mean NLL
+    (low = natural text, high = gibberish/boilerplate-mix). Plan shape
+    at 100 TB: token explode -> one hash agg builds the vocab-sized LM
+    (10^7 rows — broadcastable or shuffle-joined, AQE decides), the
+    1-row totals broadcast onto it, then tokens join the LM on the word
+    and a two-level per-doc agg reduces — no collect, no all-pairs, the
+    token explode's exchange is reused between the LM build and the
+    scoring join."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    tf = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    lp = tf.crossJoin(F.broadcast(tot)).select(
+        "w", F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))).alias("logp")
+    )
+    return (
+        words.join(lp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.col("logp")) + F.lit(1e-9), 4).alias("nll"),
+        )
+    )

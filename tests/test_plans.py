@@ -125,7 +125,7 @@ _JVM_ONLY = [
     "host_pagerank", "decontaminate_ngram", "quality_classifier_score",
     "dedup_paragraphs", "knn_ivfpq_topk", "image_caption_filter",
     "corpus_funnel_report", "knn_batch_topk", "training_mix_plan",
-    "quality_tier_stats", "ivf_train_kmeans",
+    "quality_tier_stats", "ivf_train_kmeans", "text_lm_perplexity",
 ]
 
 
