@@ -280,3 +280,49 @@ def q_xml_feed_parse(spark, sf_dir):
     return parse_op.parse_feed(feeds, key_col="doc_id").select(
         "doc_id", "item_id", "published_ts", "views"
     )
+
+
+@register(
+    "host_depth_histogram",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT event_type, len(CAST(n AS VARCHAR)) AS digits,
+             count(*) AS n_hosts, min(n) AS min_depth, max(n) AS max_depth,
+             CAST(sum(n) AS BIGINT) AS urls
+      FROM c GROUP BY 1, 2
+    )
+    SELECT event_type, digits, n_hosts, min_depth, max_depth, urls,
+           round(1e-9 + urls * 1.0 / (SELECT sum(n) FROM c), 4) AS share
+    FROM h
+    """,
+)
+def q_host_depth_histogram(spark, sf_dir):
+    """Frontier skew MONITORING (the report that drives salting /
+    per-host caps at 10^10-frontier scale): per-host queue-depth
+    histogram in decade buckets — how many hosts hold 1-9, 10-99,
+    100-999, ... queued URLs and what share of the frontier each band
+    owns. Built from two hash aggregations and a broadcast 1-row total:
+    fully parallel, no global sort/ntile (a quantile sketch would need
+    a single-task window at this cardinality), and the decade bucket is
+    integer/string arithmetic — no floor(log()) float boundary to
+    disagree across engines. A fat tail band here is the signal to
+    raise _SALT or tighten per-host pop caps before a reducer sees a
+    hot host's full queue."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    h = c.groupBy(
+        "event_type", F.length(F.col("n").cast("string")).alias("digits")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.min("n").alias("min_depth"),
+        F.max("n").alias("max_depth"),
+        F.sum("n").alias("urls"),
+    )
+    tot = c.agg(F.sum("n").alias("tot"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "event_type", "digits", "n_hosts", "min_depth", "max_depth", "urls",
+        F.round(F.col("urls") / F.col("tot") + F.lit(1e-9), 4).alias("share"),
+    )
