@@ -330,15 +330,24 @@ class SnapshotStore:
 
     # -- read ---------------------------------------------------------------
 
-    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
-        """Read a table at HEAD (default) or any retained snapshot
-        (time travel). Missing table -> empty DataFrame with its schema.
+    def read(
+        self, table: str, snapshot_id: int | None = None, branch: str | None = None
+    ) -> DataFrame:
+        """Read a table at HEAD (default), at any retained snapshot
+        (time travel), or at a WAP branch's staged head (`branch=` — the
+        audit job's view; a branch with no commits reads as main HEAD,
+        its cut point). Missing table -> empty DataFrame with its schema.
         Append-mode tables read as the union of their delta files;
         bucketed tables as the union of their bucket dirs (which may live
         in different snap dirs — that IS the copy-on-write). Evolved
         tables read with parquet schema merging + a reconciling
         projection; never-evolved tables keep the exact legacy plan."""
-        m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
+        if branch is not None and snapshot_id is not None:
+            raise ValueError("pass snapshot_id or branch, not both")
+        if branch is not None:
+            m = self.current_manifest(branch=branch)
+        else:
+            m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
         ent = m["tables"].get(table)
         evolved = self._schema_fields(table, m) is not None
         if ent is None or ent.get("path") == _EMPTY:

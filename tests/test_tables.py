@@ -433,3 +433,21 @@ def test_rebucket_preserves_content_and_evolves_layout(cow_store, spark):
 def test_rebucket_rejects_unbucketed_and_value_mode(cow_store, spark):
     with pytest.raises(KeyError):
         cow_store.rebucket("frontier", 8)  # not in this store's spec
+
+
+def test_branch_scoped_read(store, spark):
+    # WAP audit view: read(branch=) sees the staged snapshot, plain read
+    # does not; after publish both converge; an empty branch reads as
+    # the cut point (main HEAD)
+    store.commit({"politeness": _pol(spark, [(1, 0, 10, 0, 100)])})
+    assert store.read("politeness", branch="audit").count() == 1  # no commits yet
+    store.commit(
+        {"politeness": _pol(spark, [(1, 5, 10, 0, 100), (2, 0, 9, 0, 50)])},
+        branch="audit",
+    )
+    assert store.read("politeness").count() == 1          # HEAD unmoved
+    assert store.read("politeness", branch="audit").count() == 2
+    with pytest.raises(ValueError):
+        store.read("politeness", snapshot_id=1, branch="audit")
+    store.publish("audit")
+    assert store.read("politeness").count() == 2
