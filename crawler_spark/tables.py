@@ -116,10 +116,21 @@ class SnapshotStore:
         root: str,
         files_per_table: int = 4,
         bucket_spec: dict | None = None,
+        mor_delete_max_files: int = 8,
     ):
         self.spark = spark
         self.root = root
         self.files_per_table = files_per_table
+        # MoR delete-file compaction policy (Iceberg
+        # rewrite_position_delete_files analog): once a table holds this
+        # many pending equality-delete files, the NEXT mor_delete folds
+        # them all — plus its own keys — into ONE consolidated file in
+        # the same commit. Bounds the per-read anti-join fan-in (and the
+        # footer-open count) for delete-heavy tables whose buckets see
+        # little CoW traffic, at O(pending keys) fold cost. A policy
+        # knob, not state: it never changes read RESULTS, only file
+        # layout, so it needs no manifest persistence.
+        self.mor_delete_max_files = mor_delete_max_files
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "branches"), exist_ok=True)
@@ -220,18 +231,22 @@ class SnapshotStore:
         exact legacy plan when this is None)."""
         return m.get("schemas", {}).get(table)
 
+    @staticmethod
+    def _evolved_struct(ev: list[dict]):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromDDL(", ".join(f"{f['name']} {f['type']}" for f in ev))
+
     def table_schema(self, table: str, snapshot_id: int | None = None):
         """Schema of `table` AT a snapshot (Iceberg: the schema is part
         of the table metadata, versioned with it — time travel reads old
         data with the old shape). Falls back to TABLE_SCHEMAS when the
         table has never been evolved."""
-        from pyspark.sql.types import StructType
-
         m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
         ev = self._schema_fields(table, m)
         if ev is None:
             return TABLE_SCHEMAS[table]
-        return StructType.fromDDL(", ".join(f"{f['name']} {f['type']}" for f in ev))
+        return self._evolved_struct(ev)
 
     def _reconcile(self, df: DataFrame, table: str, m: dict) -> DataFrame:
         """Project a raw parquet read onto the manifest's evolved schema:
@@ -252,22 +267,45 @@ class SnapshotStore:
             ]
         )
 
+    # Iceberg type-promotion rules (the LOSSLESS widenings the spec
+    # permits for ALTER COLUMN TYPE): integral up the chain, float to
+    # double. Anything else (narrowing, cross-family) is rejected —
+    # old files must remain exactly reinterpretable under the new type.
+    _WIDEN_OK = {
+        "tinyint": ("smallint", "int", "bigint"),
+        "smallint": ("int", "bigint"),
+        "int": ("bigint",),
+        "float": ("double",),
+    }
+
     def evolve(
         self, table: str, add: list[tuple[str, str]] | None = None,
         drop: list[str] | None = None,
+        widen: list[tuple[str, str]] | None = None,
     ) -> int:
         """Schema evolution as a METADATA-ONLY commit (Iceberg
-        ALTER TABLE ADD/DROP COLUMNS): no data file is touched — the new
-        manifest carries every table entry forward by reference and
-        records the new column list; readers reconcile old buckets at
-        scan time (added cols read as typed NULLs) and the next CoW merge
-        rewrites only its dirty buckets in the new shape (lazy
-        migration). At 10^10 rows an ALTER costs one manifest write, not
-        a table rewrite. `add` = [(name, spark DDL type)], applied after
-        `drop`. Time travel keeps the schema-at-snapshot contract:
-        reading an old sid returns the old shape. Main-branch only (an
-        evolve is never staged — publish/drop any WAP branch first)."""
-        add, drop = list(add or []), list(drop or [])
+        ALTER TABLE ADD/DROP COLUMNS / ALTER COLUMN TYPE): no data file
+        is touched — the new manifest carries every table entry forward
+        by reference and records the new column list; readers reconcile
+        old buckets at scan time (added cols read as typed NULLs,
+        widened cols promoted by the parquet reader — Spark 4 supports
+        int32→long / float→double widening under an explicit read
+        schema) and the next CoW merge rewrites only its dirty buckets
+        in the new shape (lazy migration). At 10^10 rows an ALTER costs
+        one manifest write, not a table rewrite. `add` = [(name, spark
+        DDL type)], applied after `drop`; `widen` = [(name, new DDL
+        type)] restricted to _WIDEN_OK promotions. Time travel keeps the
+        schema-at-snapshot contract: reading an old sid returns the old
+        shape. Main-branch only (an evolve is never staged —
+        publish/drop any WAP branch first).
+
+        Widening the BUCKET KEY is allowed only for integral promotions:
+        hash-mode routing is pmod(key, n) on the numeric value and
+        value-mode is the decimal string, both invariant under
+        int→bigint — old buckets keep their labels and new writes route
+        identically. float→double on the key is rejected (string keys
+        route through xxhash64, whose value is type-dependent)."""
+        add, drop, widen = list(add or []), list(drop or []), list(widen or [])
         cur = [
             {"name": f.name, "type": f.dataType.simpleString()}
             for f in self.table_schema(table)
@@ -284,9 +322,28 @@ class SnapshotStore:
         dup = (names - set(drop)) & {n for n, _ in add}
         if dup:
             raise ValueError(f"columns already exist: {sorted(dup)}")
-        new = [f for f in cur if f["name"] not in set(drop)] + [
-            {"name": n, "type": t} for n, t in add
-        ]
+        cur_types = {f["name"]: f["type"] for f in cur}
+        wmap: dict[str, str] = {}
+        for n, t in widen:
+            if n not in names or n in set(drop):
+                raise KeyError(f"cannot widen unknown/dropped column {n!r}")
+            frm = cur_types[n]
+            if t not in self._WIDEN_OK.get(frm, ()):
+                raise ValueError(
+                    f"illegal type promotion {n}: {frm} -> {t} (allowed: "
+                    f"{list(self._WIDEN_OK.get(frm, ()))})"
+                )
+            if spec and n == spec["key"] and frm == "float":
+                raise ValueError(
+                    f"cannot widen float bucket key {n!r}: xxhash64 routing "
+                    "is type-dependent"
+                )
+            wmap[n] = t
+        new = [
+            {"name": f["name"], "type": wmap.get(f["name"], f["type"])}
+            for f in cur
+            if f["name"] not in set(drop)
+        ] + [{"name": n, "type": t} for n, t in add]
         return self.commit({}, schemas={table: new})
 
     # -- merge-on-read equality deletes --------------------------------------
@@ -349,10 +406,10 @@ class SnapshotStore:
         else:
             m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
         ent = m["tables"].get(table)
-        evolved = self._schema_fields(table, m) is not None
+        ev = self._schema_fields(table, m)
         if ent is None or ent.get("path") == _EMPTY:
             return self.spark.createDataFrame(
-                [], self.table_schema(table, snapshot_id) if evolved else TABLE_SCHEMAS[table]
+                [], self._evolved_struct(ev) if ev is not None else TABLE_SCHEMAS[table]
             )
         if "buckets" in ent:
             paths = [os.path.join(self.root, p) for p in ent["buckets"].values()]
@@ -362,13 +419,16 @@ class SnapshotStore:
             paths = [os.path.join(self.root, ent["path"])]
         if not paths:
             return self.spark.createDataFrame(
-                [], self.table_schema(table, snapshot_id) if evolved else TABLE_SCHEMAS[table]
+                [], self._evolved_struct(ev) if ev is not None else TABLE_SCHEMAS[table]
             )
         reader = self.spark.read
-        if evolved:
+        if ev is not None:
             # buckets written under different schema versions coexist;
-            # merge their footers so pre-evolution files surface NULLs
-            reader = reader.option("mergeSchema", "true")
+            # an EXPLICIT manifest schema makes pre-evolution files
+            # surface typed NULLs for added columns and lets the parquet
+            # reader widen promoted ones (int32→long, float→double) —
+            # mergeSchema cannot merge int/long generations at all
+            reader = reader.schema(self._evolved_struct(ev))
         return self._apply_deletes(
             self._reconcile(reader.parquet(*sorted(paths)), table, m), table, m
         )
@@ -387,15 +447,15 @@ class SnapshotStore:
         m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
         ent = m["tables"].get(table)
         bm = dict(ent.get("buckets", {})) if ent else {}
-        evolved = self._schema_fields(table, m) is not None
+        ev = self._schema_fields(table, m)
         paths = [os.path.join(self.root, bm[str(b)]) for b in labels if str(b) in bm]
         if not paths:
             return self.spark.createDataFrame(
-                [], self.table_schema(table, snapshot_id) if evolved else TABLE_SCHEMAS[table]
+                [], self._evolved_struct(ev) if ev is not None else TABLE_SCHEMAS[table]
             )
         reader = self.spark.read
-        if evolved:
-            reader = reader.option("mergeSchema", "true")
+        if ev is not None:
+            reader = reader.schema(self._evolved_struct(ev))
         return self._apply_deletes(
             self._reconcile(reader.parquet(*sorted(paths)), table, m), table, m
         )
@@ -609,12 +669,13 @@ class SnapshotStore:
         else:
             old = self.read(table, snapshot_id=from_sid)
             new = self.read(table, snapshot_id=to_sid)
-        if old.columns != new.columns:
+        if old.dtypes != new.dtypes:
             # schema evolved between the snapshots: the changelog speaks
             # the TO-side schema (Iceberg changelog contract) — the old
             # image gains typed NULLs for added columns, loses dropped
             # ones (an edit visible only in a dropped column emits
-            # nothing). An evolve alone rewrites no dir, so the pruned
+            # nothing), widened columns cast up so images compare in one
+            # type. An evolve alone rewrites no dir, so the pruned
             # path still reads zero buckets for it.
             have = set(old.columns)
             old = old.select(
@@ -628,6 +689,18 @@ class SnapshotStore:
         return cdc_diff(old, new, key)
 
     # -- write --------------------------------------------------------------
+
+    def _write_projection(self, table: str) -> list:
+        """Canonical-order column list for a data write. Never-evolved
+        tables keep the EXACT legacy plan (bare column references, no
+        casts — the metadata-only invariant); evolved tables cast to
+        schema-at-HEAD so a post-widen commit writes the promoted
+        physical type even when the caller's frame still carries the
+        narrow one."""
+        fields = self.table_schema(table).fields
+        if self._schema_fields(table, self.current_manifest()) is None:
+            return [F.col(f.name) for f in fields]
+        return [F.col(f.name).cast(f.dataType) for f in fields]
 
     def _harvest_stats(self, bucket_dirs: dict[str, str], stats_cols: list[str]) -> dict:
         """Per-bucket min/max of the spec's `stats` columns, read from the
@@ -695,8 +768,9 @@ class SnapshotStore:
         # column-order-sensitive derivations (table_state_hash) disagree
         # across snapshots. Schema-at-HEAD: post-evolution commits write
         # the evolved shape (old buckets reconcile at read time).
-        cols = [f.name for f in self.table_schema(name).fields]
-        out = df.select(*cols).withColumn(_BUCKET_COL, self._bucket_expr(name))
+        out = df.select(*self._write_projection(name)).withColumn(
+            _BUCKET_COL, self._bucket_expr(name)
+        )
         part = out.repartition(max(1, n_tasks), _BUCKET_COL)
         # write SORT ORDER (Iceberg table sort order): cluster each
         # bucket's file on the spec's `sort` columns so parquet row-group
@@ -799,7 +873,7 @@ class SnapshotStore:
             rel = os.path.join("data", name, f"snap-{sid:08d}")
             full = os.path.join(self.root, rel)
             pcols = partition_by.get(name)
-            df = df.select(*[f.name for f in self.table_schema(name).fields])
+            df = df.select(*self._write_projection(name))
             # bound output file count: one commit never fans out to more
             # files than files_per_table per partition value
             writer = df.repartition(self.files_per_table).write
@@ -897,10 +971,23 @@ class SnapshotStore:
                 )
             ks = _keys(self.bucket_spec[name]["key"])
             rel = os.path.join("data", name, f"snap-{sid:08d}-del")
-            kdf.select(*ks).distinct().coalesce(1).write.mode("overwrite").parquet(
+            pending = list(ent.get("deletes", []))
+            new_keys = kdf.select(*ks).distinct()
+            if len(pending) >= self.mor_delete_max_files:
+                # fold: consolidate every pending file + this batch into
+                # ONE delete file (old files stay on disk for time
+                # travel; gc reclaims them once their manifests expire).
+                # Readers at the new sid anti-join one file instead of
+                # N — identical key set, identical results.
+                old_keys = self.spark.read.parquet(
+                    *sorted(os.path.join(self.root, d["path"]) for d in pending)
+                ).select(*ks)
+                new_keys = old_keys.unionByName(new_keys).distinct()
+                pending = []
+            new_keys.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(self.root, rel)
             )
-            ent["deletes"] = list(ent.get("deletes", [])) + [{"path": rel, "key": ks}]
+            ent["deletes"] = pending + [{"path": rel, "key": ks}]
             tables[name] = ent
         props = dict(prev.get("properties", {}))
         props.update(properties or {})

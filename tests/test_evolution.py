@@ -127,6 +127,118 @@ def test_empty_evolved_table_read(store, spark):
     assert "fetched_day" in df.columns and df.count() == 0
 
 
+# -- type widening (Iceberg ALTER COLUMN TYPE promotions) -------------------
+
+SPECP = {"politeness": {"mode": "hash", "key": "host_hash", "n": 4}}
+_POL_DDL = "host_hash long, used_quota int, daily_quota int, quota_day int, min_delay_ms int"
+
+
+def _pol(spark, rows):
+    return spark.createDataFrame(rows, _POL_DDL)
+
+
+def _file_type(store, bucket_rel, col):
+    """Physical parquet type of `col` in a bucket dir (footer truth)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(store.root, bucket_rel)
+    f = sorted(p for p in os.listdir(d) if p.endswith(".parquet"))[0]
+    return str(pq.read_schema(os.path.join(d, f)).field(col).type)
+
+
+def test_widen_is_metadata_only_and_promotes_old_files(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "w1"), bucket_spec=SPECP)
+    store.commit({"politeness": _pol(spark, [(1, 7, 100, 0, 50), (2, 9, 100, 0, 50)])})
+    sid = store.evolve("politeness", widen=[("used_quota", "bigint")])
+    assert sid == 2
+    # no data rewritten: the old bucket files still carry int32 on disk
+    bm = store._bucket_map("politeness")
+    assert all(p.endswith(f"snap-00000001/__bucket={b}") for b, p in bm.items())
+    assert _file_type(store, bm["1"], "used_quota") == "int32"
+    head = store.read("politeness")
+    assert dict(head.dtypes)["used_quota"] == "bigint"
+    assert {r["host_hash"]: r["used_quota"] for r in head.collect()} == {1: 7, 2: 9}
+    # time travel returns the schema-at-snapshot (still int)
+    old = store.read("politeness", snapshot_id=1)
+    assert dict(old.dtypes)["used_quota"] == "int"
+
+
+def test_widen_mixed_generations_read_as_one_type(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "w2"), bucket_spec=SPECP)
+    store.commit({"politeness": _pol(spark, [(h, h * 10, 100, 0, 50) for h in range(8)])})
+    store.evolve("politeness", widen=[("used_quota", "bigint")])
+    # the caller's frame may still carry the narrow type: the write path
+    # casts to schema-at-HEAD, so the new bucket lands as int64
+    upd = spark.createDataFrame(
+        [(1, 2**31 + 5, 100, 0, 50)],
+        "host_hash long, used_quota bigint, daily_quota int, quota_day int, min_delay_ms int",
+    )  # a value only the WIDE type can hold — the point of the promotion
+    plan = store.plan_merge("politeness", upsert=upd, key="host_hash")
+    assert plan.dirty == ["1"]
+    store.commit({}, merge={"politeness": plan})
+    bm = store._bucket_map("politeness")
+    assert _file_type(store, bm["1"], "used_quota") == "int64"   # new generation
+    assert _file_type(store, bm["0"], "used_quota") == "int32"   # old generation
+    got = {r["host_hash"]: r["used_quota"] for r in store.read("politeness").collect()}
+    assert got[1] == 2**31 + 5 and got[0] == 0 and got[5] == 50
+
+
+def test_widen_bucket_key_routing_stable(spark, tmp_path):
+    spec = {"metrics_daily": {"mode": "hash", "key": "yyyymmdd", "n": 4}}
+    store = SnapshotStore(spark, str(tmp_path / "w3"), bucket_spec=spec)
+    rows = [(h, 20240100 + h, 2024, 1, h, None, 0, 0) for h in range(8)]
+    ddl = ("url_hash long, yyyymmdd int, year int, month int, day int, "
+           "ts timestamp, views long, subscribers long")
+    store.commit({"metrics_daily": spark.createDataFrame(rows, ddl)})
+    before = store._bucket_map("metrics_daily")
+    store.evolve("metrics_daily", widen=[("yyyymmdd", "bigint")])
+    # pmod routing is numeric — a widened integral key keeps every label
+    upd = spark.createDataFrame([(99, 20240101, 2024, 1, 1, None, 5, 5)], ddl)
+    plan = store.plan_merge("metrics_daily", upsert=upd, key=["url_hash", "yyyymmdd"])
+    assert plan.dirty == [str(20240101 % 4)]
+    store.commit({}, merge={"metrics_daily": plan})
+    after = store._bucket_map("metrics_daily")
+    assert set(after) == set(before)  # no bucket moved or split
+    assert store.read("metrics_daily").filter(F.col("yyyymmdd") == 20240101).count() == 2
+
+
+def test_widen_validation(store, spark):
+    store.commit({"blacklist": _bl(spark, [1])})
+    with pytest.raises(ValueError):
+        store.evolve("blacklist", widen=[("url_hash", "int")])  # narrowing
+    with pytest.raises(KeyError):
+        store.evolve("blacklist", widen=[("nope", "bigint")])  # unknown
+    store.evolve("blacklist", add=[("x", "int")])
+    with pytest.raises(KeyError):
+        # widen of a column dropped in the same evolve
+        store.evolve("blacklist", drop=["x"], widen=[("x", "bigint")])
+
+
+def test_widen_float_to_double_exact(store, spark):
+    store.commit({"blacklist": _bl(spark, [1, 2])})
+    store.evolve("blacklist", add=[("score", "float")])
+    upd = spark.createDataFrame([(1, 1.5), (2, 2.25)], "url_hash long, score float")
+    store.commit({}, merge={"blacklist": store.plan_merge("blacklist", upsert=upd, key="url_hash")})
+    store.evolve("blacklist", widen=[("score", "double")])
+    head = store.read("blacklist")
+    assert dict(head.dtypes)["score"] == "double"
+    got = {r["url_hash"]: r["score"] for r in head.collect()}
+    assert got == {1: 1.5, 2: 2.25}  # f32-exact values promote losslessly
+
+
+def test_widen_diff_speaks_to_side_type(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "w4"), bucket_spec=SPECP)
+    store.commit({"politeness": _pol(spark, [(1, 7, 100, 0, 50)])})      # sid 1
+    store.evolve("politeness", widen=[("used_quota", "bigint")])         # sid 2
+    assert store.diff("politeness", "host_hash", 1, 2).count() == 0
+    upd = _pol(spark, [(1, 8, 100, 0, 50)])
+    store.commit({}, merge={"politeness": store.plan_merge("politeness", upsert=upd, key="host_hash")})
+    d = store.diff("politeness", "host_hash", 1, 3)
+    assert dict(d.dtypes)["used_quota"] == "bigint"  # to-side schema
+    got = {r["_change_type"]: r["used_quota"] for r in d.collect()}
+    assert got == {"update_before": 7, "update_after": 8}
+
+
 def test_added_column_participates_in_stats_pruning_safely(spark, tmp_path):
     # stats list a column old buckets lack: harvest records it unknown,
     # pruning must KEEP those buckets (optimization, never a bet)

@@ -142,6 +142,68 @@ def test_mor_delete_validation(store, spark):
         )
 
 
+# -- delete-file compaction policy -------------------------------------------
+
+
+def test_delete_files_fold_at_threshold(spark, tmp_path):
+    st = SnapshotStore(
+        spark, str(tmp_path / "fold"), bucket_spec=SPEC4, mor_delete_max_files=3
+    )
+    st.commit({"blacklist": _bl(spark, range(16))})
+    for k in (1, 2, 3):
+        st.mor_delete("blacklist", _bl(spark, [k]))
+    ent = st.current_manifest()["tables"]["blacklist"]
+    assert len(ent["deletes"]) == 3  # at threshold, not yet folded
+    st.mor_delete("blacklist", _bl(spark, [4]))  # trips the fold
+    ent = st.current_manifest()["tables"]["blacklist"]
+    assert len(ent["deletes"]) == 1  # 4 files -> 1 consolidated
+    kdf = st.spark.read.parquet(os.path.join(st.root, ent["deletes"][0]["path"]))
+    assert sorted(r["url_hash"] for r in kdf.collect()) == [1, 2, 3, 4]
+    assert sorted(r["url_hash"] for r in st.read("blacklist").collect()) == [
+        0, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    ]
+    # time travel BEFORE the fold still reads through the unfolded files
+    assert st.read("blacklist", snapshot_id=4).count() == 13
+
+
+def test_fold_is_semantics_free(spark, tmp_path):
+    def build(tag, threshold):
+        st = SnapshotStore(
+            spark, str(tmp_path / tag), bucket_spec=SPEC4,
+            mor_delete_max_files=threshold,
+        )
+        st.commit({"blacklist": _bl(spark, range(16))})
+        for k in (1, 2, 5, 9, 10):
+            st.mor_delete("blacklist", _bl(spark, [k]))
+        return table_state_hash(st.read("blacklist"))
+
+    assert build("folded", 2) == build("unfolded", 100)
+
+
+def test_folded_deletes_retire_on_bucket_rewrite(spark, tmp_path):
+    st = SnapshotStore(
+        spark, str(tmp_path / "foldret"), bucket_spec=SPEC4, mor_delete_max_files=1
+    )
+    st.commit({"blacklist": _bl(spark, range(8))})
+    st.mor_delete("blacklist", _bl(spark, [1]))   # bucket 1
+    st.mor_delete("blacklist", _bl(spark, [2]))   # folds -> one file {1, 2}
+    assert len(_pending_of(st)) == 1
+    # rewrite bucket 1: key 1 retires (and is re-inserted), key 2 stays
+    plan = st.plan_merge("blacklist", upsert=_bl(spark, [1]), key="url_hash")
+    assert plan.dirty == ["1"]
+    st.commit({}, merge={"blacklist": plan})
+    dels = _pending_of(st)
+    assert len(dels) == 1
+    kdf = st.spark.read.parquet(os.path.join(st.root, dels[0]["path"]))
+    assert [r["url_hash"] for r in kdf.collect()] == [2]
+    got = sorted(r["url_hash"] for r in st.read("blacklist").collect())
+    assert got == [0, 1, 3, 4, 5, 6, 7]
+
+
+def _pending_of(st):
+    return (st.current_manifest()["tables"]["blacklist"]).get("deletes", [])
+
+
 def test_merged_full_sees_pending_deletes_on_clean_slice(store, spark):
     store.commit({"blacklist": _bl(spark, range(8))})
     store.mor_delete("blacklist", _bl(spark, [3]))  # bucket 3, stays clean
