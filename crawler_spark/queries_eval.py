@@ -509,3 +509,114 @@ def q_ivf_balance_report(spark, sf_dir):
     return per.select(
         "cell", "n_members", "avg_d", "max_d", ratio.alias("load_ratio")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ distortion report: raw-vector vs residual codebooks
+# ---------------------------------------------------------------------------
+# The quantitative case for residual IVFPQ (Jégou et al.): with the SAME
+# code budget (4 subspaces x 8 codewords), quantizing r = x - c_cell(x)
+# instead of x itself should yield strictly lower reconstruction error,
+# because residuals concentrate near the origin and the codebook spends
+# its codewords on within-cell structure. This report measures exactly
+# that: per-vector squared reconstruction error = the sum of the four
+# subspace argmin distances (the assignment distance IS the subspace
+# error — reconstruction is the chosen codeword), averaged and maxed
+# over the corpus, one row per scheme.
+#
+# Scale shape: two trained-codebook assignments (each one join + agg on
+# the exploded work table, identical to what the trainers already run)
+# and a per-vector sum — no new shuffle structure beyond the training
+# queries themselves. Rounding: per-sub d at 9dp (training lockstep),
+# per-vector total at 6dp, corpus avg at 4dp; max is over 6dp-rounded
+# totals so it is order-independent.
+
+from crawler_spark.queries_media import (
+    _PQ_TRAIN_CTES,
+    _PQR_TRAIN_CTES,
+    _PQT_ITERS,
+    _pq_assign,
+    _pq_explode,
+    _pq_train_centroids,
+    _pqr_frames,
+    _pqr_train_centroids,
+)
+
+
+def _pq_dist_block(scheme: str, ctes: str, tbl: str = "e") -> str:
+    return """
+    SELECT * FROM (
+      WITH {ctes},
+      pdf AS (
+        SELECT e.vec_id, c.sub, c.cid,
+               round(1e-12 + sum((e.val - c.v) * (e.val - c.v)), 9) AS d
+        FROM {tbl} e JOIN pc{last} c ON c.dim = e.dim
+        GROUP BY e.vec_id, c.sub, c.cid
+      ),
+      paf AS (
+        SELECT vec_id, sub, d FROM (
+          SELECT vec_id, sub, d,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY d ASC, cid ASC) AS rk
+          FROM pdf
+        ) WHERE rk = 1
+      ),
+      tot AS (
+        SELECT vec_id, round(1e-9 + sum(d), 6) AS td
+        FROM paf GROUP BY vec_id
+      )
+      SELECT '{scheme}' AS scheme,
+             round(1e-9 + avg(td), 4) AS avg_err,
+             max(td) AS max_err
+      FROM tot
+    )""".format(scheme=scheme, ctes=ctes.strip(), last=_PQT_ITERS, tbl=tbl)
+
+
+_PQ_DISTORTION_SQL = "{raw}\n    UNION ALL\n{res}".format(
+    raw=_pq_dist_block("pq_raw", _PQ_TRAIN_CTES),
+    res=_pq_dist_block("pq_residual", _PQR_TRAIN_CTES, tbl="re"),
+)
+
+
+def _sub_min_d(e, cents):
+    """Per (vector, subspace) argmin assignment distance — _pq_assign
+    with the distance KEPT (it is the subspace reconstruction error)."""
+    d = (
+        e.drop("sub").join(cents, "dim")
+        .groupBy("vec_id", "sub", "cid")
+        .agg(F.round(
+            F.sum((F.col("val") - F.col("v")) * (F.col("val") - F.col("v")))
+            + F.lit(1e-12), 9).alias("d"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(F.col("d").asc(), F.col("cid").asc())
+    )
+    return d.withColumn("rk", rk).filter(F.col("rk") == 1).select("vec_id", "sub", "d")
+
+
+@register("pq_distortion_report", _PQ_DISTORTION_SQL)
+def q_pq_distortion_report(spark, sf_dir):
+    """Reconstruction error of the two trained PQ schemes over the whole
+    corpus: one row per scheme with corpus-average and corpus-max
+    per-vector squared error. pq_residual's avg_err is the number that
+    should beat pq_raw's — the measured justification for the residual
+    codebooks feeding knn_ivfpq_residual_topk."""
+    def per_scheme(scheme, e, cents):
+        td = (
+            _sub_min_d(e, cents)
+            .groupBy("vec_id")
+            .agg(F.round(F.sum("d") + F.lit(1e-9), 6).alias("td"))
+        )
+        return td.agg(
+            F.lit(scheme).alias("scheme"),
+            F.round(F.avg("td") + F.lit(1e-9), 4).alias("avg_err"),
+            F.max("td").alias("max_err"),
+        )
+
+    e_raw = _pq_explode(spark, sf_dir)
+    c_raw = _pq_train_centroids(spark, sf_dir)
+    _, e_res = _pqr_frames(spark, sf_dir)
+    c_res = _pqr_train_centroids(spark, sf_dir)
+    return per_scheme("pq_raw", e_raw, c_raw).unionByName(
+        per_scheme("pq_residual", e_res, c_res)
+    )

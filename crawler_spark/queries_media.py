@@ -692,13 +692,16 @@ _PQ_K = 8
 _PQT_ITERS = 2
 
 
-def _pqt_iter_sql(i: int) -> str:
+def _pqt_iter_sql(i: int, tbl: str = "e") -> str:
+    """One Lloyd iteration over the PQ work table `tbl` (aliased `e`
+    inside — the raw trainer passes the raw explode, the residual
+    trainer passes the residual explode `re`)."""
     prev = f"pc{i - 1}"
     return f"""
     pd{i} AS (
       SELECT e.vec_id, c.sub, c.cid,
              round(1e-12 + sum((e.val - c.v) * (e.val - c.v)), 9) AS d
-      FROM e JOIN {prev} c ON c.dim = e.dim
+      FROM {tbl} e JOIN {prev} c ON c.dim = e.dim
       GROUP BY e.vec_id, c.sub, c.cid
     ),
     pa{i} AS (
@@ -711,7 +714,7 @@ def _pqt_iter_sql(i: int) -> str:
     ),
     pn{i} AS (
       SELECT a.sub, a.cid, e.dim, round(1e-9 + avg(e.val), 6) AS v
-      FROM e JOIN pa{i} a ON a.vec_id = e.vec_id AND a.sub = e.sub
+      FROM {tbl} e JOIN pa{i} a ON a.vec_id = e.vec_id AND a.sub = e.sub
       GROUP BY a.sub, a.cid, e.dim
     ),
     pc{i} AS (
@@ -1340,4 +1343,358 @@ def q_ivf_train_kmeans(spark, sf_dir):
             F.coalesce("n_members", F.lit(0)).alias("n_members"),
             "c_norm",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RESIDUAL IVFPQ (the full FAISS IVFPQ scheme: PQ over coarse residuals)
+# ---------------------------------------------------------------------------
+# knn_ivfpq_topk above quantizes RAW vectors — the textbook simplification.
+# Production IVFPQ (Jégou et al., FAISS IndexIVFPQ) quantizes the RESIDUAL
+# r = x - c_cell(x) against the TRAINED coarse quantizer: residuals
+# concentrate near the origin, so the same 4x8 codebook budget spends its
+# codewords on within-cell structure instead of re-encoding the cell
+# offset the coarse quantizer already captured. The coarse quantizer here
+# is the ivf_train_kmeans chain (Lloyd's, L2 argmin — NOT the seeded
+# dot-product _CENTROIDS, whose random norm-8 centroids would INFLATE
+# residuals of the unit-norm corpus; pq_distortion_report in queries_eval
+# is the measured check that residual distortion beats raw).
+#
+# Training and probe reuse the lockstep machinery: the raw explode `e`
+# feeds the coarse chain (c0..c{KM_ITERS}, kaf assignment), the residual
+# work table `re` feeds the SAME _pqt_iter_sql Lloyd iterations
+# (parameterized on the work table), and every rounding rule (6dp
+# centroids, 9dp distances, row_number tiebreaks) is shared verbatim.
+# Everything JVM-side; at scale the codes table is cell-partitioned like
+# the IVF index, 4 bytes/vector.
+
+# raw explode + trained coarse + L2 assignment + residual work table —
+# the CTE prefix every residual-PQ oracle shares
+_PQR_COARSE_CTES = """
+    e AS (
+      SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS val
+      FROM embeddings, LATERAL unnest(range(1, {dimp1})) AS t(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cell, dim, round(1e-9 + val, 6) AS v
+      FROM e WHERE vec_id BETWEEN 1 AND {kmk}
+    ),
+    {km_iters},
+    kd AS (
+      SELECT e.vec_id, c.cell,
+             round(1e-12 + sum((e.val - c.v) * (e.val - c.v)), 9) AS d
+      FROM e JOIN c{kmlast} c USING (dim) GROUP BY e.vec_id, c.cell
+    ),
+    kaf AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cell ASC) AS rk
+        FROM kd
+      ) WHERE rk = 1
+    ),
+    re AS (
+      SELECT e.vec_id, e.dim, (e.dim - 1) // {pdim} AS sub,
+             e.val - c.v AS val
+      FROM e
+      JOIN kaf a ON a.vec_id = e.vec_id
+      JOIN c{kmlast} c ON c.cell = a.cell AND c.dim = e.dim
+    )
+""".format(
+    dimp1=_PQ_SUBS * _PQ_DIM + 1, kmk=_KM_K, kmlast=_KM_ITERS, pdim=_PQ_DIM,
+    km_iters=",".join(_km_iter_sql(i) for i in range(1, _KM_ITERS + 1)).lstrip(",\n "),
+)
+
+_PQR_TRAIN_CTES = """
+    {coarse},
+    pc0 AS (
+      SELECT sub, vec_id AS cid, dim, round(1e-9 + val, 6) AS v
+      FROM re WHERE vec_id BETWEEN 1 AND {k}
+    ),
+    {iters}
+""".format(
+    coarse=_PQR_COARSE_CTES.strip(), k=_PQ_K,
+    iters=",".join(
+        _pqt_iter_sql(i, tbl="re") for i in range(1, _PQT_ITERS + 1)
+    ).lstrip(",\n "),
+)
+
+_PQR_TRAIN_SQL = """
+    WITH {ctes},
+    pdf AS (
+      SELECT e.vec_id, c.sub, c.cid,
+             round(1e-12 + sum((e.val - c.v) * (e.val - c.v)), 9) AS d
+      FROM re e JOIN pc{last} c ON c.dim = e.dim
+      GROUP BY e.vec_id, c.sub, c.cid
+    ),
+    paf AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d ASC, cid ASC) AS rk
+        FROM pdf
+      ) WHERE rk = 1
+    ),
+    pm AS (SELECT sub, cid, count(*) AS n_members FROM paf GROUP BY sub, cid)
+    SELECT c.sub, c.cid, coalesce(m.n_members, 0)::BIGINT AS n_members,
+           round(1e-9 + sqrt(sum(c.v * c.v)), 4) AS c_norm
+    FROM pc{last} c LEFT JOIN pm m ON m.sub = c.sub AND m.cid = c.cid
+    GROUP BY c.sub, c.cid, m.n_members
+""".format(ctes=_PQR_TRAIN_CTES, last=_PQT_ITERS)
+
+# residual dist/codes CTEs: same shape as _pq_trained_dist_ctes but the
+# subspace slices come from the residual work table `re`
+_pqr_dist_ctes = """
+    cta AS (SELECT sub, cid, list(v ORDER BY dim) AS cv
+            FROM pc{last} GROUP BY sub, cid),
+    sv AS (SELECT vec_id, sub, list(val ORDER BY dim) AS sl
+           FROM re GROUP BY vec_id, sub),
+    dist AS (
+      SELECT v.vec_id, v.sub, c.cid,
+             list_sum(list_transform(list_zip(v.sl, c.cv),
+                      p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2]))) AS d
+      FROM sv v JOIN cta c USING (sub)
+    ),
+    darr AS (SELECT vec_id, sub, list(d ORDER BY cid) AS ds
+             FROM dist GROUP BY vec_id, sub),
+    pcodes AS (
+      SELECT vec_id, {code_cols}
+      FROM darr GROUP BY vec_id
+    ),
+    pq AS (SELECT {q_cols})
+""".format(
+    last=_PQT_ITERS,
+    code_cols=", ".join(
+        f"max(CASE WHEN sub = {s} THEN array_position(ds, list_min(ds)) END) AS cd{s}"
+        for s in range(_PQ_SUBS)
+    ),
+    q_cols=", ".join(
+        f"(SELECT ds FROM darr WHERE vec_id = 0 AND sub = {s}) AS qd{s}"
+        for s in range(_PQ_SUBS)
+    ),
+)
+
+_PQR_SQL = """
+    WITH {train},
+    {dist},
+    qc AS (SELECT cell FROM kaf WHERE vec_id = 0)
+    SELECT c.vec_id, round(1e-9 + {adc}, 4) AS adc_dist
+    FROM pcodes c
+    JOIN kaf l ON l.vec_id = c.vec_id, pq, qc
+    WHERE l.cell = qc.cell AND c.vec_id != 0
+    ORDER BY round(1e-9 + {adc}, 4) ASC, c.vec_id ASC
+    LIMIT 5
+""".format(train=_PQR_TRAIN_CTES.strip(), dist=_pqr_dist_ctes.strip(),
+           adc=_pq_trained_adc_sql)
+
+
+def _km_explode(spark, sf_dir):
+    """(vec_id, dim 1..64, val double) — the coarse-quantizer work table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "val0")
+    ).select(
+        "vec_id", (F.col("dim0") + 1).alias("dim"),
+        F.col("val0").cast("double").alias("val"),
+    )
+
+
+def _km_assign(e, cents):
+    """L2 argmin cell per vector (9dp-rounded distance, cell tiebreak)."""
+    from pyspark.sql import Window
+
+    d = (
+        e.join(cents, "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.round(
+            F.sum((F.col("val") - F.col("v")) * (F.col("val") - F.col("v")))
+            + F.lit(1e-12), 9).alias("d"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cell").asc())
+    )
+    return d.withColumn("rk", rk).filter(F.col("rk") == 1).select("vec_id", "cell")
+
+
+def _km_train_centroids(spark, sf_dir):
+    """Trained coarse centroids (cell, dim, v) — the ivf_train_kmeans
+    Lloyd loop, exposed for the residual-PQ consumers."""
+    e = _km_explode(spark, sf_dir)
+    c = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KM_K)).select(
+        F.col("vec_id").alias("cell"), "dim",
+        F.round(F.col("val") + F.lit(1e-9), 6).alias("v"),
+    )
+    for _ in range(_KM_ITERS):
+        a = _km_assign(e, c)
+        n = (
+            e.join(a, "vec_id")
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("val") + F.lit(1e-9), 6).alias("v2"))
+        )
+        c = c.join(n, ["cell", "dim"], "left").select(
+            "cell", "dim", F.coalesce("v2", "v").alias("v")
+        )
+    return c
+
+
+def _pqr_frames(spark, sf_dir):
+    """(kaf, re): the trained-coarse cell assignment (vec_id, cell) and
+    the residual k-means work table (vec_id, dim, sub, val) — the
+    residual twin of _pq_explode, same global-dim convention."""
+    e = _km_explode(spark, sf_dir)
+    c = _km_train_centroids(spark, sf_dir)
+    kaf = _km_assign(e, c)
+    re = (
+        e.join(kaf, "vec_id")
+        .join(c, ["cell", "dim"])
+        .select(
+            "vec_id", "dim",
+            F.floor((F.col("dim") - 1) / _PQ_DIM).cast("long").alias("sub"),
+            (F.col("val") - F.col("v")).alias("val"),
+        )
+    )
+    return kaf, re
+
+
+def _pqr_train_centroids(spark, sf_dir):
+    """Residual codebooks as (sub, cid, dim, v): the exact
+    _pq_train_centroids loop over the residual work table."""
+    _, e = _pqr_frames(spark, sf_dir)
+    c = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K)).select(
+        "sub", F.col("vec_id").alias("cid"), "dim",
+        F.round(F.col("val") + F.lit(1e-9), 6).alias("v"),
+    )
+    for _ in range(_PQT_ITERS):
+        a = _pq_assign(e, c)
+        n = (
+            e.join(a, ["vec_id", "sub"])
+            .groupBy("sub", "cid", "dim")
+            .agg(F.round(F.avg("val") + F.lit(1e-9), 6).alias("v2"))
+        )
+        c = c.join(n, ["sub", "cid", "dim"], "left").select(
+            "sub", "cid", "dim", F.coalesce("v2", "v").alias("v")
+        )
+    return c
+
+
+@register("pq_train_residual_kmeans", _PQR_TRAIN_SQL)
+def q_pq_train_residual_kmeans(spark, sf_dir):
+    """Train the RESIDUAL PQ codebooks in-engine (per-subspace Lloyd's
+    over r = x - c_cell(x) against the TRAINED coarse quantizer; seeds =
+    vectors 1..k's residual slices); observable contract identical to
+    pq_train_kmeans."""
+    _, e = _pqr_frames(spark, sf_dir)
+    c = _pqr_train_centroids(spark, sf_dir)
+    af = _pq_assign(e, c)
+    m = af.groupBy("sub", "cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        c.groupBy("sub", "cid")
+        .agg(F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))) + F.lit(1e-9), 4)
+             .alias("c_norm"))
+        .join(m, ["sub", "cid"], "left")
+        .select(
+            "sub", "cid",
+            F.coalesce("n_members", F.lit(0).cast("long")).alias("n_members"),
+            "c_norm",
+        )
+    )
+
+
+_PQR_TRAINED: dict[tuple[int, str], list] = {}
+
+
+def trained_residual_codebooks(spark, sf_dir) -> list:
+    key = (id(spark), sf_dir)
+    got = _PQR_TRAINED.get(key)
+    if got is not None:
+        return got
+    rows = _pqr_train_centroids(spark, sf_dir).collect()
+    books = [
+        [[0.0] * _PQ_DIM for _ in range(_PQ_K)] for _ in range(_PQ_SUBS)
+    ]
+    for r in rows:
+        books[int(r["sub"])][int(r["cid"]) - 1][(int(r["dim"]) - 1) % _PQ_DIM] = float(r["v"])
+    _PQR_TRAINED[key] = books
+    return books
+
+
+_KM_TRAINED: dict[tuple[int, str], list] = {}
+
+
+def trained_coarse_centroids(spark, sf_dir) -> list:
+    """Trained coarse centroids as _KM_K 64-dim lists (memoized —
+    k x dims rounded doubles, broadcast-scale constants)."""
+    key = (id(spark), sf_dir)
+    got = _KM_TRAINED.get(key)
+    if got is not None:
+        return got
+    rows = _km_train_centroids(spark, sf_dir).collect()
+    cents = [[0.0] * (_PQ_SUBS * _PQ_DIM) for _ in range(_KM_K)]
+    for r in rows:
+        cents[int(r["cell"]) - 1][int(r["dim"]) - 1] = float(r["v"])
+    _KM_TRAINED[key] = cents
+    return cents
+
+
+@register("knn_ivfpq_residual_topk", _PQR_SQL)
+def q_knn_ivfpq_residual_topk(spark, sf_dir):
+    """Trained-IVF cell prune + residual-PQ ADC rescore (the full FAISS
+    IVFPQ scheme): candidates sharing the query's trained coarse cell
+    are scored from their RESIDUAL subspace codes against the query's
+    residual distance table — query and candidates expressed against the
+    same cell origin, so the LUT is exact w.r.t. the probed cell. All
+    JVM-side array math; same rank/tiebreak contract as knn_ivfpq_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = trained_residual_codebooks(spark, sf_dir)
+    cents = trained_coarse_centroids(spark, sf_dir)
+    kaf, _ = _pqr_frames(spark, sf_dir)
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def sqdist(sub, cent):
+        return dsum(F.zip_with(
+            sub, F.array(*[F.lit(v) for v in cent]),
+            lambda a, b: (a - b) * (a - b),
+        ))
+
+    cent_arrs = F.array(*[
+        F.array(*[F.lit(v) for v in cent]) for cent in cents
+    ])
+    withr = emb.join(kaf, "vec_id").select(
+        "vec_id", "cell",
+        F.zip_with(
+            "embedding", F.element_at(cent_arrs, F.col("cell").cast("int")),
+            lambda a, b: a.cast("double") - b,
+        ).alias("res"),
+    )
+
+    def dist_array(s: int):
+        sub = F.slice("res", s * _PQ_DIM + 1, _PQ_DIM)
+        return F.array(*[sqdist(sub, cent) for cent in books[s]])
+
+    dists = withr.select(
+        "vec_id", "cell",
+        *[dist_array(s).alias(f"d{s}") for s in range(_PQ_SUBS)],
+    )
+    codes = dists.select(
+        "vec_id", "cell",
+        *[F.array_position(F.col(f"d{s}"), F.array_min(f"d{s}")).alias(f"c{s}")
+          for s in range(_PQ_SUBS)],
+    )
+    q = dists.filter(F.col("vec_id") == 0).select(
+        F.col("cell").alias("qc"),
+        *[F.col(f"d{s}").alias(f"qd{s}") for s in range(_PQ_SUBS)],
+    )
+    adc = sum(
+        (F.element_at(f"qd{s}", F.col(f"c{s}").cast("int"))
+         for s in range(_PQ_SUBS)),
+        start=F.lit(0.0),
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qc")) & (F.col("vec_id") != 0))
+        .select("vec_id", F.round(adc + F.lit(1e-9), 4).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
     )
