@@ -40,6 +40,7 @@ def vindex_bucket_spec() -> dict:
         "emb_lsh": {"mode": "value", "key": "bucket"},
         "emb_ivf": {"mode": "value", "key": "cell"},
         "doc_minhash": {"mode": "hash", "key": "doc_id", "n": 16},
+        "pq_codes": {"mode": "value", "key": "cell"},
     }
 
 
@@ -72,6 +73,26 @@ def emb_ivf_rows(emb: DataFrame) -> DataFrame:
         "vec_id",
         F.col("embedding").cast("array<float>").alias("embedding"),
         F.array_position(dots, F.array_max(dots)).cast("long").alias("cell"),
+    )
+
+
+def pq_codes_rows(emb: DataFrame, cents: list, books: list) -> DataFrame:
+    """(vec_id, embedding) -> PQ_CODES rows: trained coarse cell +
+    4 residual subspace codes, derived through the SAME
+    residual_dist_frame expressions the recompute probe uses — index
+    codes and probe-time codes can never drift. The stored row is the
+    FAISS IVFPQ invlist entry: 8-byte id + 4 one-byte-scale codes, cell
+    is the partition key."""
+    from crawler_spark.queries_media import _PQ_SUBS, residual_dist_frame
+
+    dists = residual_dist_frame(emb, cents, books)
+    return dists.select(
+        "vec_id", "cell",
+        *[
+            F.array_position(F.col(f"d{s}"), F.array_min(f"d{s}"))
+            .cast("int").alias(f"c{s}")
+            for s in range(_PQ_SUBS)
+        ],
     )
 
 
@@ -208,6 +229,12 @@ class SimilarityIndex:
     def ivf_partition(self, cell: int) -> DataFrame:
         return self.store.read_buckets("emb_ivf", [str(int(cell))])
 
+    def pq_partition(self, cell: int) -> DataFrame:
+        """ONLY the given trained-coarse cell's code files — the ADC
+        probe reads 1/cells of a codes table ~64x smaller than the raw
+        embeddings."""
+        return self.store.read_buckets("pq_codes", [str(int(cell))])
+
     def ivf_partitions(self, cells) -> DataFrame:
         """IVF multiprobe read: the union of the named cells' partition
         files (nprobe/cells of the index) — file-level pruning, same
@@ -244,4 +271,22 @@ def index_for(spark: SparkSession, sf_dir: str) -> SimilarityIndex:
         n = spark.sparkContext.defaultParallelism
         ix.build(emb=emb, docs=docs.repartition(n))
     _INDEX_MEMO[sf_dir] = ix
+    return ix
+
+
+def ensure_pq_codes(spark: SparkSession, sf_dir: str) -> SimilarityIndex:
+    """index_for + the pq_codes table, added lazily in its own commit the
+    first time an ADC probe needs it (the three base tables never pay the
+    codebook training; training constants are memoized per process)."""
+    from crawler_spark.queries_media import (
+        trained_coarse_centroids,
+        trained_residual_codebooks,
+    )
+
+    ix = index_for(spark, sf_dir)
+    if "pq_codes" not in ix.store.current_manifest()["tables"]:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = trained_coarse_centroids(spark, sf_dir)
+        books = trained_residual_codebooks(spark, sf_dir)
+        ix.store.commit({"pq_codes": pq_codes_rows(emb, cents, books)})
     return ix

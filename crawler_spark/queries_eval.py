@@ -620,3 +620,174 @@ def q_pq_distortion_report(spark, sf_dir):
     return per_scheme("pq_raw", e_raw, c_raw).unionByName(
         per_scheme("pq_residual", e_res, c_res)
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ recall report: end-to-end retrieval quality of the two IVFPQ schemes
+# ---------------------------------------------------------------------------
+# pq_distortion_report measures RECONSTRUCTION error; this measures what
+# a user of the index actually observes — recall@5 of each scheme's ADC
+# top-5 against the EXACT-L2 top-5 over raw vectors, restricted to the
+# scheme's own probed cell (so the number isolates quantization error,
+# not cell-pruning loss, which ann_recall_report already covers for the
+# coarse layer). Within one cell ||x-y|| == ||r_x - r_y||, so exact-L2
+# over raw vectors IS the target the residual ADC approximates.
+#
+# Both ADC top-5 sets COMPOSE the registered knn queries
+# (knn_ivfpq_topk / knn_ivfpq_residual_topk on the Spark side; their
+# shared CTE chains on the oracle side), so this report stays in
+# lockstep with each probe's own checked definition by construction.
+#
+# Scale shape: the ground-truth scorer is one broadcast-join scan of the
+# probed CELL (not the corpus) per scheme — the same bounded-sample
+# recall-QA shape as ann_recall_report; the single-partition rank window
+# only ever sees one cell's candidates. Rounding: exact distances at 9dp
+# with the 1e-12 nudge (the kd/pdf training lockstep rule), recall at
+# 4dp.
+
+from crawler_spark.queries_media import (
+    _pq_trained_adc_sql,
+    _pq_trained_dist_ctes,
+    _pqr_dist_ctes,
+    q_knn_ivfpq_residual_topk,
+    q_knn_ivfpq_topk,
+)
+
+_PQ_RECALL_K = 5
+
+_PQ_RECALL_TAIL = """
+    cand AS (
+      SELECT l.vec_id FROM {cells} l, qc
+      WHERE l.cell = qc.cell AND l.vec_id != 0
+    ),
+    adc5 AS (
+      SELECT vec_id FROM (
+        SELECT c.vec_id,
+               row_number() OVER (ORDER BY round(1e-9 + {adc}, 4) ASC,
+                                  c.vec_id ASC) AS rk
+        FROM pcodes c JOIN cand USING (vec_id), pq
+      ) WHERE rk <= {k}
+    ),
+    gt5 AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY d ASC, vec_id ASC) AS rk
+        FROM (
+          SELECT e2.vec_id,
+                 round(1e-12 + sum((e2.val - q.val) * (e2.val - q.val)), 9) AS d
+          FROM e e2
+          JOIN e q ON q.dim = e2.dim AND q.vec_id = 0
+          JOIN cand ON cand.vec_id = e2.vec_id
+          GROUP BY e2.vec_id
+        )
+      ) WHERE rk <= {k}
+    ),
+    h AS (SELECT count(*)::BIGINT AS n_hit FROM adc5 JOIN gt5 USING (vec_id))
+    SELECT '{scheme}' AS scheme,
+           (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+           h.n_hit AS n_hit,
+           round(h.n_hit / {k}.0 + 1e-9, 4) AS recall_at_5
+    FROM h"""
+
+
+def _pq_recall_block(scheme: str, head: str, cells: str) -> str:
+    return "    SELECT * FROM (\n      WITH {head},\n{tail}\n    )".format(
+        head=head.strip(),
+        tail=_PQ_RECALL_TAIL.format(
+            cells=cells, adc=_pq_trained_adc_sql, k=_PQ_RECALL_K,
+            scheme=scheme,
+        ),
+    )
+
+
+_PQ_RECALL_RAW_HEAD = """
+    {train},
+    {dist},
+    cells AS (
+      SELECT vec_id, array_position(d, list_max(d)) AS cell
+      FROM (SELECT vec_id, [{dots}] AS d FROM embeddings)
+    ),
+    qc AS (SELECT cell FROM cells WHERE vec_id = 0)
+""".format(train=_PQ_TRAIN_CTES.strip(), dist=_pq_trained_dist_ctes.strip(),
+           dots=_cell_dots_sql)
+
+_PQ_RECALL_RES_HEAD = """
+    {train},
+    {dist},
+    qc AS (SELECT cell FROM kaf WHERE vec_id = 0)
+""".format(train=_PQR_TRAIN_CTES.strip(), dist=_pqr_dist_ctes.strip())
+
+_PQ_RECALL_SQL = "{raw}\n    UNION ALL\n{res}".format(
+    raw=_pq_recall_block("pq_raw", _PQ_RECALL_RAW_HEAD, "cells"),
+    res=_pq_recall_block("pq_residual", _PQ_RECALL_RES_HEAD, "kaf"),
+)
+
+
+def _exact_cell_topk(emb, cand, k: int):
+    """Exact-L2 top-k over RAW vectors restricted to the candidate set
+    (one probed cell): broadcast the 1-row query vector, zip_with the
+    squared diff, rank with the vec_id tiebreak."""
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    d = (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                _dsum(F.zip_with(
+                    "embedding", "qv",
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                )) + F.lit(1e-12), 9).alias("d"),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("d").asc(), F.col("vec_id").asc()))
+    return d.withColumn("rk", rk).filter(F.col("rk") <= k).select("vec_id")
+
+
+@register("pq_recall_report", _PQ_RECALL_SQL)
+def q_pq_recall_report(spark, sf_dir):
+    """recall@5 of each trained-ADC scheme's top-5 (the registered
+    knn_ivfpq_topk / knn_ivfpq_residual_topk results, composed) against
+    the exact-L2 top-5 within the scheme's probed cell; one row per
+    scheme with the candidate-set size."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def raw_cells():
+        cell_dots = F.array(*[
+            _dsum(F.zip_with(
+                "embedding", F.array(*[F.lit(v) for v in cent]),
+                lambda a, b: a.cast("double") * b,
+            ))
+            for cent in _CENTROIDS
+        ])
+        return emb.select(
+            "vec_id",
+            F.array_position(cell_dots, F.array_max(cell_dots)).alias("cell"),
+        )
+
+    def per_scheme(scheme, cells, adc5):
+        qc = cells.filter(F.col("vec_id") == 0).select(F.col("cell").alias("qc"))
+        cand = (
+            cells.crossJoin(F.broadcast(qc))
+            .filter((F.col("cell") == F.col("qc")) & (F.col("vec_id") != 0))
+            .select("vec_id")
+        )
+        gt5 = _exact_cell_topk(emb, cand, _PQ_RECALL_K)
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        n_hit = adc5.join(gt5, "vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
+        return n_cand.crossJoin(n_hit).select(
+            F.lit(scheme).alias("scheme"), "n_cand", "n_hit",
+            F.round(F.col("n_hit") / _PQ_RECALL_K + F.lit(1e-9), 4)
+            .alias("recall_at_5"),
+        )
+
+    kaf, _ = _pqr_frames(spark, sf_dir)
+    raw = per_scheme(
+        "pq_raw", raw_cells(),
+        q_knn_ivfpq_topk(spark, sf_dir).select("vec_id"),
+    )
+    res = per_scheme(
+        "pq_residual", kaf,
+        q_knn_ivfpq_residual_topk(spark, sf_dir).select("vec_id"),
+    )
+    return raw.unionByName(res)

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from crawler_spark.operators.vindex import index_for
 from crawler_spark.queries import _t, register
-from crawler_spark.queries_media import _ANN_TOPK_SQL, _IVF_SQL, _bucket_col
+from crawler_spark.queries_media import (
+    _ANN_TOPK_SQL,
+    _IVF_SQL,
+    _PQR_SQL as _PQR_ORACLE_SQL,
+    _bucket_col,
+)
 from crawler_spark.queries_ml import (
     _ANN_BITS as _ANN_BITS_REF,
     _LSH_BUCKET_CAP,
@@ -278,4 +283,51 @@ def q_knn_batch_indexed_topk(spark, sf_dir):
             F.coalesce(F.col("q_id"), F.lit(-1)).alias("q_id"),
             "rank", "vec_id", "cosine",
         )
+    )
+
+
+@register("knn_ivfpq_residual_indexed_topk", _PQR_ORACLE_SQL)
+def q_knn_ivfpq_residual_indexed_topk(spark, sf_dir):
+    """The residual-IVFPQ probe over the PERSISTED pq_codes index (the
+    FAISS IndexIVFPQ serving path): resolve the query's trained coarse
+    cell + residual distance tables with a ONE-row job through the same
+    residual_dist_frame expressions the index build used, read ONLY that
+    cell's code-partition files, and ADC-score the 4-byte codes against
+    the query's LUT inlined as literals. Same oracle as
+    knn_ivfpq_residual_topk — the index probe must reproduce the full
+    recompute bit-for-bit. At 100 TB this reads 1/cells of a codes table
+    that is itself ~64x smaller than the raw embeddings; the recompute
+    form re-derives residuals for the whole corpus."""
+    from crawler_spark.operators.vindex import ensure_pq_codes
+    from crawler_spark.queries_media import (
+        _PQ_SUBS,
+        residual_dist_frame,
+        trained_coarse_centroids,
+        trained_residual_codebooks,
+    )
+
+    books = trained_residual_codebooks(spark, sf_dir)
+    cents = trained_coarse_centroids(spark, sf_dir)
+    qrow = residual_dist_frame(
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0),
+        cents, books,
+    ).collect()[0]
+    qcell = int(qrow["cell"])
+
+    probe = ensure_pq_codes(spark, sf_dir).pq_partition(qcell)
+    adc = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(float(v)) for v in qrow[f"d{s}"]]),
+                F.col(f"c{s}"),
+            )
+            for s in range(_PQ_SUBS)
+        ),
+        start=F.lit(0.0),
+    )
+    return (
+        probe.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(adc + F.lit(1e-9), 4).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
     )

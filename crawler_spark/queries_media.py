@@ -1636,18 +1636,16 @@ def trained_coarse_centroids(spark, sf_dir) -> list:
     return cents
 
 
-@register("knn_ivfpq_residual_topk", _PQR_SQL)
-def q_knn_ivfpq_residual_topk(spark, sf_dir):
-    """Trained-IVF cell prune + residual-PQ ADC rescore (the full FAISS
-    IVFPQ scheme): candidates sharing the query's trained coarse cell
-    are scored from their RESIDUAL subspace codes against the query's
-    residual distance table — query and candidates expressed against the
-    same cell origin, so the LUT is exact w.r.t. the probed cell. All
-    JVM-side array math; same rank/tiebreak contract as knn_ivfpq_topk."""
-    emb = _t(spark, sf_dir, "embeddings")
-    books = trained_residual_codebooks(spark, sf_dir)
-    cents = trained_coarse_centroids(spark, sf_dir)
-    kaf, _ = _pqr_frames(spark, sf_dir)
+def residual_dist_frame(emb, cents, books):
+    """(vec_id, cell, d0..d{subs-1}): trained-coarse cell by 9dp-rounded
+    L2 argmin (array ordered by cell, first-min = lowest cell — the same
+    tiebreak as _km_assign's row_number) plus the per-subspace residual
+    distance tables against the trained codebooks. The ONE definition
+    shared by the recompute probe (knn_ivfpq_residual_topk) and the
+    persisted pq_codes index build (operators/vindex.pq_codes_rows) —
+    codes in the index and codes recomputed at probe time can never
+    drift. All Catalyst literal-array math, no training join at use
+    time (cents/books are memoized broadcast-scale constants)."""
 
     def dsum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -1658,10 +1656,22 @@ def q_knn_ivfpq_residual_topk(spark, sf_dir):
             lambda a, b: (a - b) * (a - b),
         ))
 
+    cell_ds = F.array(*[
+        F.round(
+            dsum(F.zip_with(
+                "embedding", F.array(*[F.lit(v) for v in cent]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            )) + F.lit(1e-12), 9)
+        for cent in cents
+    ])
+    withc = emb.select(
+        "vec_id", "embedding",
+        F.array_position(cell_ds, F.array_min(cell_ds)).cast("long").alias("cell"),
+    )
     cent_arrs = F.array(*[
         F.array(*[F.lit(v) for v in cent]) for cent in cents
     ])
-    withr = emb.join(kaf, "vec_id").select(
+    withr = withc.select(
         "vec_id", "cell",
         F.zip_with(
             "embedding", F.element_at(cent_arrs, F.col("cell").cast("int")),
@@ -1673,10 +1683,24 @@ def q_knn_ivfpq_residual_topk(spark, sf_dir):
         sub = F.slice("res", s * _PQ_DIM + 1, _PQ_DIM)
         return F.array(*[sqdist(sub, cent) for cent in books[s]])
 
-    dists = withr.select(
+    return withr.select(
         "vec_id", "cell",
         *[dist_array(s).alias(f"d{s}") for s in range(_PQ_SUBS)],
     )
+
+
+@register("knn_ivfpq_residual_topk", _PQR_SQL)
+def q_knn_ivfpq_residual_topk(spark, sf_dir):
+    """Trained-IVF cell prune + residual-PQ ADC rescore (the full FAISS
+    IVFPQ scheme): candidates sharing the query's trained coarse cell
+    are scored from their RESIDUAL subspace codes against the query's
+    residual distance table — query and candidates expressed against the
+    same cell origin, so the LUT is exact w.r.t. the probed cell. All
+    JVM-side array math; same rank/tiebreak contract as knn_ivfpq_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = trained_residual_codebooks(spark, sf_dir)
+    cents = trained_coarse_centroids(spark, sf_dir)
+    dists = residual_dist_frame(emb, cents, books)
     codes = dists.select(
         "vec_id", "cell",
         *[F.array_position(F.col(f"d{s}"), F.array_min(f"d{s}")).alias(f"c{s}")

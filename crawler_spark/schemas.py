@@ -175,6 +175,19 @@ DOC_MINHASH = StructType([
     _f("sig", ArrayType(LongType())),
 ])
 
+# residual-PQ codes index (FAISS IndexIVFPQ layout): one 4-byte code row
+# per vector, stored IN its trained coarse cell's partition — an ADC
+# probe reads 1/cells of a table that is itself ~64x smaller than the
+# raw embeddings
+PQ_CODES = StructType([
+    _f("vec_id", LongType(), False),
+    _f("cell", LongType(), False),
+    _f("c0", IntegerType()),
+    _f("c1", IntegerType()),
+    _f("c2", IntegerType()),
+    _f("c3", IntegerType()),
+])
+
 # near-dup cluster assignment for the engine's own corpus (loop-maintained
 # sidecar of `corpus`, bucketed identically so maintenance co-locates)
 CORPUS_CLUSTERS = StructType([
@@ -220,6 +233,7 @@ TABLE_SCHEMAS: dict[str, StructType] = {
     "emb_lsh": EMB_LSH,
     "emb_ivf": EMB_IVF,
     "doc_minhash": DOC_MINHASH,
+    "pq_codes": PQ_CODES,
     "corpus_clusters": CORPUS_CLUSTERS,
     "corpus_bands": CORPUS_BANDS,
 }

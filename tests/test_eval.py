@@ -65,3 +65,34 @@ def test_calibration_estimator_tracks_truth_on_average(spark):
     rows = q_minhash_calibration(spark, SF).collect()
     mean_err = sum(r["est_jaccard"] - r["exact_jaccard"] for r in rows) / len(rows)
     assert abs(mean_err) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# PQ distortion / recall dominance (the residual-IVFPQ design claims)
+# ---------------------------------------------------------------------------
+
+
+def test_residual_pq_distortion_beats_raw(spark):
+    # the whole point of quantizing residuals: same 4x8 code budget,
+    # strictly lower corpus-average reconstruction error than raw-vector
+    # codebooks (residuals concentrate near the origin)
+    from crawler_spark.queries_eval import q_pq_distortion_report
+
+    rows = {r["scheme"]: r for r in q_pq_distortion_report(spark, SF).collect()}
+    assert set(rows) == {"pq_raw", "pq_residual"}
+    assert rows["pq_residual"]["avg_err"] < rows["pq_raw"]["avg_err"]
+
+
+def test_pq_recall_report_well_formed(spark):
+    # recall@5 vs the exact-L2 top-5 within the probed cell: a fraction,
+    # with n_hit consistent and a non-empty pruned candidate set that is
+    # still a strict subset of the corpus
+    from crawler_spark.queries_eval import q_pq_recall_report
+
+    rows = {r["scheme"]: r for r in q_pq_recall_report(spark, SF).collect()}
+    assert set(rows) == {"pq_raw", "pq_residual"}
+    n = spark.read.parquet(SF + "/embeddings.parquet").count()
+    for r in rows.values():
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+        assert r["n_hit"] == round(r["recall_at_5"] * 5)
+        assert 0 < r["n_cand"] < n - 1

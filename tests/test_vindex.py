@@ -326,3 +326,63 @@ def test_vindex_upkeep_purges_cascade_deleted_images(spark, tmp_path_factory):
     got, want = _index_rows(s.vindex), _index_rows(fresh)
     for t in got:
         assert got[t] == want[t], t
+
+
+# ---------------------------------------------------------------------------
+# Residual-PQ codes index (pq_codes: FAISS IndexIVFPQ invlist layout)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_indexed_matches_recompute(spark):
+    """The pq_codes probe must reproduce the recompute-form residual
+    IVFPQ query row-for-row (both register the same DuckDB oracle; this
+    pins them to each other directly)."""
+    from crawler_spark.queries_index import q_knn_ivfpq_residual_indexed_topk
+    from crawler_spark.queries_media import q_knn_ivfpq_residual_topk
+
+    a = [tuple(r) for r in q_knn_ivfpq_residual_indexed_topk(spark, SF_SMALL).collect()]
+    b = [tuple(r) for r in q_knn_ivfpq_residual_topk(spark, SF_SMALL).collect()]
+    assert a == b
+    assert len(a) == 5
+
+
+def test_pq_probe_scans_only_query_cell(spark):
+    """The ADC probe reads ONLY the query's trained-coarse cell partition
+    of the codes table — the 1/cells x 1/64-bytes serving path."""
+    from crawler_spark.operators.vindex import ensure_pq_codes
+    from crawler_spark.queries import _t
+    from crawler_spark.queries_media import (
+        residual_dist_frame,
+        trained_coarse_centroids,
+        trained_residual_codebooks,
+    )
+
+    cents = trained_coarse_centroids(spark, SF_SMALL)
+    books = trained_residual_codebooks(spark, SF_SMALL)
+    qcell = int(
+        residual_dist_frame(
+            _t(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") == 0),
+            cents, books,
+        ).collect()[0]["cell"]
+    )
+    ix = ensure_pq_codes(spark, SF_SMALL)
+    files = ix.pq_partition(qcell).inputFiles()
+    assert files, "probe reads no files"
+    assert all(f"__bucket={qcell}/" in f for f in files)
+    all_files = ix.store.read("pq_codes").inputFiles()
+    assert len(all_files) > len(files), "probe did not prune the codes scan"
+
+
+def test_pq_codes_added_lazily_without_touching_base_tables(spark):
+    """ensure_pq_codes commits the codes table on top of the memoized
+    index WITHOUT rewriting the three base tables (their bucket dirs are
+    carried forward by manifest reference)."""
+    from crawler_spark.operators.vindex import ensure_pq_codes
+
+    ix = ensure_pq_codes(spark, SF_SMALL)
+    m = ix.store.current_manifest()
+    assert "pq_codes" in m["tables"]
+    # idempotent: a second call commits nothing
+    sid = ix.store.snapshot_id
+    assert ensure_pq_codes(spark, SF_SMALL) is ix
+    assert ix.store.snapshot_id == sid
