@@ -235,6 +235,15 @@ class SimilarityIndex:
         embeddings."""
         return self.store.read_buckets("pq_codes", [str(int(cell))])
 
+    def pq_partitions(self, cells) -> DataFrame:
+        """Residual-ADC multiprobe read: the union of the named trained
+        coarse cells' code-partition files (nprobe/cells of a table
+        ~64x smaller than the embeddings) — file-level pruning, same
+        contract as ivf_partitions."""
+        return self.store.read_buckets(
+            "pq_codes", sorted({str(int(c)) for c in cells})
+        )
+
     def ivf_partitions(self, cells) -> DataFrame:
         """IVF multiprobe read: the union of the named cells' partition
         files (nprobe/cells of the index) — file-level pruning, same

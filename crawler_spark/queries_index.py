@@ -331,3 +331,131 @@ def q_knn_ivfpq_residual_indexed_topk(spark, sf_dir):
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual-IVFPQ multiprobe (nprobe > 1) over the persisted codes index
+# ---------------------------------------------------------------------------
+# The single-cell residual probe inherits IVF's textbook weak point: a
+# query near a cell boundary misses neighbors quantized into the adjacent
+# cell. FAISS IndexIVFPQ probes the nprobe nearest invlists and
+# RECOMPUTES the ADC table per list (stored codes are residuals against
+# their OWN cell's centroid, so the query residual must be re-expressed
+# against each probed cell's origin). Same here: nprobe nearest trained
+# cells by the coarse L2 ranking (9dp round, cell-id tiebreak — the kd
+# ordering), one query-side LUT per cell via the shared
+# residual_dist_frame with the cell forced, candidates scored with THEIR
+# cell's LUT. Reads nprobe/cells of the codes table, still file-pruned.
+
+_PQR_NPROBE = 2
+
+
+def _pqr_multiprobe_sql() -> str:
+    from crawler_spark.queries_media import (
+        _KM_ITERS,
+        _PQ_DIM,
+        _PQ_SUBS,
+        _PQR_TRAIN_CTES,
+        _pqr_dist_ctes,
+    )
+
+    pqm_cols = ", ".join(
+        f"max(CASE WHEN sub = {s} THEN ds END) AS qd{s}"
+        for s in range(_PQ_SUBS)
+    )
+    adcm = " + ".join(f"m.qd{s}[c.cd{s}]" for s in range(_PQ_SUBS))
+    return """
+    WITH {train},
+    {dist},
+    probe AS (
+      SELECT cell FROM (
+        SELECT cell, row_number() OVER (ORDER BY d ASC, cell ASC) AS rk
+        FROM kd WHERE vec_id = 0
+      ) WHERE rk <= {nprobe}
+    ),
+    req AS (
+      SELECT p.cell, e.dim, (e.dim - 1) // {pdim} AS sub,
+             e.val - c.v AS val
+      FROM e CROSS JOIN probe p
+      JOIN c{kml} c ON c.cell = p.cell AND c.dim = e.dim
+      WHERE e.vec_id = 0
+    ),
+    svq AS (SELECT cell, sub, list(val ORDER BY dim) AS sl
+            FROM req GROUP BY cell, sub),
+    dq AS (
+      SELECT v.cell, v.sub, c.cid,
+             list_sum(list_transform(list_zip(v.sl, c.cv),
+                      p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2]))) AS d
+      FROM svq v JOIN cta c USING (sub)
+    ),
+    qdarr AS (SELECT cell, sub, list(d ORDER BY cid) AS ds
+              FROM dq GROUP BY cell, sub),
+    pqm AS (SELECT cell, {pqm} FROM qdarr GROUP BY cell)
+    SELECT c.vec_id, round(1e-9 + {adcm}, 4) AS adc_dist
+    FROM pcodes c
+    JOIN kaf l ON l.vec_id = c.vec_id
+    JOIN pqm m ON m.cell = l.cell
+    WHERE c.vec_id != 0
+    ORDER BY round(1e-9 + {adcm}, 4) ASC, c.vec_id ASC
+    LIMIT 5
+""".format(train=_PQR_TRAIN_CTES.strip(), dist=_pqr_dist_ctes.strip(),
+           nprobe=_PQR_NPROBE, pdim=_PQ_DIM, kml=_KM_ITERS,
+           pqm=pqm_cols, adcm=adcm)
+
+
+@register("knn_ivfpq_residual_multiprobe_topk", _pqr_multiprobe_sql())
+def q_knn_ivfpq_residual_multiprobe_topk(spark, sf_dir):
+    """Residual-ADC multiprobe over the PERSISTED pq_codes index: rank
+    the trained coarse cells by the query's L2 distance (the shared
+    coarse_cell_dists expression — same 9dp rounding and cell-id
+    tiebreak as the assignment argmin), read the nprobe nearest cells'
+    code-partition files only, and score each candidate against ITS
+    cell's query-residual LUT (residual_dist_frame with the cell
+    forced). Recall dominates the single-cell probe at nprobe/cells of
+    the index I/O; driver traffic is nprobe 1-row LUT collects."""
+    from crawler_spark.operators.vindex import ensure_pq_codes
+    from crawler_spark.queries_media import (
+        _PQ_SUBS,
+        coarse_cell_dists,
+        residual_dist_frame,
+        trained_coarse_centroids,
+        trained_residual_codebooks,
+    )
+
+    books = trained_residual_codebooks(spark, sf_dir)
+    cents = trained_coarse_centroids(spark, sf_dir)
+    qemb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    cds = list(
+        qemb.select(coarse_cell_dists(cents).alias("cds")).collect()[0]["cds"]
+    )
+    cells = sorted(
+        range(1, len(cents) + 1), key=lambda c: (cds[c - 1], c)
+    )[:_PQR_NPROBE]
+    luts = {
+        c: residual_dist_frame(qemb, cents, books, cell=c).collect()[0]
+        for c in cells
+    }
+
+    def lut(s: int):
+        return F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(c)).cast("long") for c in cells]),
+                F.array(*[
+                    F.array(*[F.lit(float(v)) for v in luts[c][f"d{s}"]])
+                    for c in cells
+                ]),
+            ),
+            F.col("cell"),
+        )
+
+    adc = sum(
+        (F.element_at(lut(s), F.col(f"c{s}")) for s in range(_PQ_SUBS)),
+        start=F.lit(0.0),
+    )
+    probe = ensure_pq_codes(spark, sf_dir).pq_partitions(cells)
+    return (
+        probe.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(adc + F.lit(1e-9), 4).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )

@@ -1636,7 +1636,27 @@ def trained_coarse_centroids(spark, sf_dir) -> list:
     return cents
 
 
-def residual_dist_frame(emb, cents, books):
+def coarse_cell_dists(cents):
+    """Column: 9dp-rounded (+1e-12) L2 distance of `embedding` to each
+    trained coarse centroid, ordered by cell id — the array whose
+    first-occurrence argmin IS the trained-coarse assignment (same
+    tiebreak as _km_assign's row_number) and whose (d, cell) sort order
+    defines the multiprobe cell ranking, identical to the oracle's kd."""
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    return F.array(*[
+        F.round(
+            dsum(F.zip_with(
+                "embedding", F.array(*[F.lit(v) for v in cent]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            )) + F.lit(1e-12), 9)
+        for cent in cents
+    ])
+
+
+def residual_dist_frame(emb, cents, books, cell=None):
     """(vec_id, cell, d0..d{subs-1}): trained-coarse cell by 9dp-rounded
     L2 argmin (array ordered by cell, first-min = lowest cell — the same
     tiebreak as _km_assign's row_number) plus the per-subspace residual
@@ -1645,7 +1665,12 @@ def residual_dist_frame(emb, cents, books):
     persisted pq_codes index build (operators/vindex.pq_codes_rows) —
     codes in the index and codes recomputed at probe time can never
     drift. All Catalyst literal-array math, no training join at use
-    time (cents/books are memoized broadcast-scale constants)."""
+    time (cents/books are memoized broadcast-scale constants).
+
+    With `cell` given, the residual is taken against THAT centroid
+    instead of the argmin — the multiprobe query-side LUT, where the
+    query's residual must be expressed against each probed cell's origin
+    (FAISS recomputes the ADC table per probed invlist the same way)."""
 
     def dsum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -1656,18 +1681,11 @@ def residual_dist_frame(emb, cents, books):
             lambda a, b: (a - b) * (a - b),
         ))
 
-    cell_ds = F.array(*[
-        F.round(
-            dsum(F.zip_with(
-                "embedding", F.array(*[F.lit(v) for v in cent]),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            )) + F.lit(1e-12), 9)
-        for cent in cents
-    ])
-    withc = emb.select(
-        "vec_id", "embedding",
-        F.array_position(cell_ds, F.array_min(cell_ds)).cast("long").alias("cell"),
+    cell_col = (
+        F.array_position(coarse_cell_dists(cents), F.array_min(coarse_cell_dists(cents)))
+        .cast("long") if cell is None else F.lit(int(cell)).cast("long")
     )
+    withc = emb.select("vec_id", "embedding", cell_col.alias("cell"))
     cent_arrs = F.array(*[
         F.array(*[F.lit(v) for v in cent]) for cent in cents
     ])

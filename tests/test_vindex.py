@@ -373,6 +373,52 @@ def test_pq_probe_scans_only_query_cell(spark):
     assert len(all_files) > len(files), "probe did not prune the codes scan"
 
 
+def test_pq_multiprobe_scans_only_nprobe_cells(spark):
+    """The residual-ADC multiprobe reads exactly the query's nprobe
+    nearest TRAINED coarse cells' code partitions — never the whole
+    codes table."""
+    from crawler_spark.operators.vindex import ensure_pq_codes
+    from crawler_spark.queries import _t
+    from crawler_spark.queries_index import _PQR_NPROBE
+    from crawler_spark.queries_media import (
+        coarse_cell_dists,
+        trained_coarse_centroids,
+    )
+
+    cents = trained_coarse_centroids(spark, SF_SMALL)
+    qemb = _t(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") == 0)
+    cds = list(
+        qemb.select(coarse_cell_dists(cents).alias("cds")).collect()[0]["cds"]
+    )
+    cells = sorted(
+        range(1, len(cents) + 1), key=lambda c: (cds[c - 1], c)
+    )[:_PQR_NPROBE]
+    ix = ensure_pq_codes(spark, SF_SMALL)
+    files = ix.pq_partitions(cells).inputFiles()
+    assert files, "multiprobe reads no files"
+    assert all(any(f"__bucket={c}/" in f for c in cells) for f in files)
+    all_files = ix.store.read("pq_codes").inputFiles()
+    assert len(all_files) > len(files), "probe did not prune the codes scan"
+
+
+def test_pq_multiprobe_dominates_single_cell_probe(spark):
+    """Pointwise recall dominance: the multiprobe's candidate set is a
+    strict superset of the single-cell probe's (its first-ranked cell IS
+    the argmin cell) and the shared cell is scored with the identical
+    LUT, so its top-5 ADC distances must be <= the single-cell top-5
+    pointwise."""
+    from crawler_spark.queries_index import (
+        q_knn_ivfpq_residual_indexed_topk,
+        q_knn_ivfpq_residual_multiprobe_topk,
+    )
+
+    s = q_knn_ivfpq_residual_indexed_topk(spark, SF_SMALL).collect()
+    m = q_knn_ivfpq_residual_multiprobe_topk(spark, SF_SMALL).collect()
+    assert len(s) == len(m) == 5
+    for ms, ss in zip(m, s):
+        assert ms["adc_dist"] <= ss["adc_dist"] + 1e-9
+
+
 def test_pq_codes_added_lazily_without_touching_base_tables(spark):
     """ensure_pq_codes commits the codes table on top of the memoized
     index WITHOUT rewriting the three base tables (their bucket dirs are
