@@ -657,15 +657,14 @@ _PQ_RECALL_K = 5
 
 _PQ_RECALL_TAIL = """
     cand AS (
-      SELECT l.vec_id FROM {cells} l, qc
-      WHERE l.cell = qc.cell AND l.vec_id != 0
+      {cand}
     ),
     adc5 AS (
       SELECT vec_id FROM (
         SELECT c.vec_id,
                row_number() OVER (ORDER BY round(1e-9 + {adc}, 4) ASC,
                                   c.vec_id ASC) AS rk
-        FROM pcodes c JOIN cand USING (vec_id), pq
+        {adc_from}
       ) WHERE rk <= {k}
     ),
     gt5 AS (
@@ -689,12 +688,19 @@ _PQ_RECALL_TAIL = """
     FROM h"""
 
 
-def _pq_recall_block(scheme: str, head: str, cells: str) -> str:
+def _pq_recall_block(
+    scheme: str, head: str, cells: str,
+    cand: str | None = None, adc: str | None = None,
+    adc_from: str = "FROM pcodes c JOIN cand USING (vec_id), pq",
+) -> str:
     return "    SELECT * FROM (\n      WITH {head},\n{tail}\n    )".format(
         head=head.strip(),
         tail=_PQ_RECALL_TAIL.format(
-            cells=cells, adc=_pq_trained_adc_sql, k=_PQ_RECALL_K,
-            scheme=scheme,
+            cand=cand or ("SELECT l.vec_id FROM {cells} l, qc\n"
+                          "      WHERE l.cell = qc.cell AND l.vec_id != 0"
+                          ).format(cells=cells),
+            adc=adc or _pq_trained_adc_sql,
+            adc_from=adc_from, k=_PQ_RECALL_K, scheme=scheme,
         ),
     )
 
@@ -716,9 +722,70 @@ _PQ_RECALL_RES_HEAD = """
     qc AS (SELECT cell FROM kaf WHERE vec_id = 0)
 """.format(train=_PQR_TRAIN_CTES.strip(), dist=_pqr_dist_ctes.strip())
 
-_PQ_RECALL_SQL = "{raw}\n    UNION ALL\n{res}".format(
+def _pq_recall_mp_block() -> str:
+    """Third scheme row: the residual multiprobe's ADC top-5 (per-cell
+    query LUT, the registered knn_ivfpq_residual_multiprobe_topk chain)
+    vs exact-L2 top-5 within the UNION of the nprobe probed cells —
+    quantifies what widening the probe buys end-to-end."""
+    from crawler_spark.queries_index import _pqr_mp_parts
+
+    mp_ctes, adcm = _pqr_mp_parts()
+    head = "{train},\n    {dist},\n    {mp}".format(
+        train=_PQR_TRAIN_CTES.strip(), dist=_pqr_dist_ctes.strip(),
+        mp=mp_ctes)
+    return _pq_recall_block(
+        "pq_residual_multiprobe", head, "kaf",
+        cand=("SELECT l.vec_id FROM kaf l JOIN probe p ON l.cell = p.cell\n"
+              "      WHERE l.vec_id != 0"),
+        adc=adcm,
+        adc_from=("FROM pcodes c JOIN cand USING (vec_id)\n"
+                  "        JOIN kaf l ON l.vec_id = c.vec_id\n"
+                  "        JOIN pqm m ON m.cell = l.cell"),
+    )
+
+
+# Global-scope rows (FAISS-convention recall curves): ground truth is
+# the exact-L2 top-5 over the WHOLE corpus, the probe keeps its own
+# cell restriction — so these rows price cell-pruning loss + ADC error
+# together, the number a user of the index actually experiences. The
+# pair (pq_residual_global, pq_residual_mp_global) is the direct
+# single-cell-vs-multiprobe comparison on a FIXED target.
+_PQ_GLOBAL_CAND = "SELECT DISTINCT vec_id FROM e WHERE vec_id != 0"
+
+
+def _pq_recall_global_blocks() -> str:
+    from crawler_spark.queries_index import _pqr_mp_parts
+
+    mp_ctes, adcm = _pqr_mp_parts()
+    mp_head = "{train},\n    {dist},\n    {mp}".format(
+        train=_PQR_TRAIN_CTES.strip(), dist=_pqr_dist_ctes.strip(),
+        mp=mp_ctes)
+    single = _pq_recall_block(
+        "pq_residual_global", _PQ_RECALL_RES_HEAD, "kaf",
+        cand=_PQ_GLOBAL_CAND,
+        adc_from=("FROM pcodes c JOIN cand USING (vec_id)\n"
+                  "        JOIN kaf l ON l.vec_id = c.vec_id\n"
+                  "        JOIN qc ON l.cell = qc.cell\n"
+                  "        CROSS JOIN pq"),
+    )
+    multi = _pq_recall_block(
+        "pq_residual_mp_global", mp_head, "kaf",
+        cand=_PQ_GLOBAL_CAND,
+        adc=adcm,
+        adc_from=("FROM pcodes c JOIN cand USING (vec_id)\n"
+                  "        JOIN kaf l ON l.vec_id = c.vec_id\n"
+                  "        JOIN pqm m ON m.cell = l.cell"),
+    )
+    return "{s}\n    UNION ALL\n{m}".format(s=single, m=multi)
+
+
+_PQ_RECALL_SQL = (
+    "{raw}\n    UNION ALL\n{res}\n    UNION ALL\n{mp}\n    UNION ALL\n{g}"
+).format(
     raw=_pq_recall_block("pq_raw", _PQ_RECALL_RAW_HEAD, "cells"),
     res=_pq_recall_block("pq_residual", _PQ_RECALL_RES_HEAD, "kaf"),
+    mp=_pq_recall_mp_block(),
+    g=_pq_recall_global_blocks(),
 )
 
 
@@ -765,13 +832,7 @@ def q_pq_recall_report(spark, sf_dir):
             F.array_position(cell_dots, F.array_max(cell_dots)).alias("cell"),
         )
 
-    def per_scheme(scheme, cells, adc5):
-        qc = cells.filter(F.col("vec_id") == 0).select(F.col("cell").alias("qc"))
-        cand = (
-            cells.crossJoin(F.broadcast(qc))
-            .filter((F.col("cell") == F.col("qc")) & (F.col("vec_id") != 0))
-            .select("vec_id")
-        )
+    def score(scheme, cand, adc5):
         gt5 = _exact_cell_topk(emb, cand, _PQ_RECALL_K)
         n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
         n_hit = adc5.join(gt5, "vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
@@ -780,6 +841,15 @@ def q_pq_recall_report(spark, sf_dir):
             F.round(F.col("n_hit") / _PQ_RECALL_K + F.lit(1e-9), 4)
             .alias("recall_at_5"),
         )
+
+    def per_scheme(scheme, cells, adc5):
+        qc = cells.filter(F.col("vec_id") == 0).select(F.col("cell").alias("qc"))
+        cand = (
+            cells.crossJoin(F.broadcast(qc))
+            .filter((F.col("cell") == F.col("qc")) & (F.col("vec_id") != 0))
+            .select("vec_id")
+        )
+        return score(scheme, cand, adc5)
 
     kaf, _ = _pqr_frames(spark, sf_dir)
     raw = per_scheme(
@@ -790,4 +860,36 @@ def q_pq_recall_report(spark, sf_dir):
         "pq_residual", kaf,
         q_knn_ivfpq_residual_topk(spark, sf_dir).select("vec_id"),
     )
-    return raw.unionByName(res)
+    # third row: the multiprobe, against exact-L2 within the UNION of
+    # its nprobe probed cells — what widening the probe buys end-to-end
+    from crawler_spark.queries_index import (
+        q_knn_ivfpq_residual_multiprobe_topk,
+        query_pqr_probe_cells,
+    )
+
+    pcells = [int(c) for c in query_pqr_probe_cells(spark, sf_dir)]
+    mp_cand = kaf.filter(
+        F.col("cell").isin(pcells) & (F.col("vec_id") != 0)
+    ).select("vec_id")
+    mp = score(
+        "pq_residual_multiprobe", mp_cand,
+        q_knn_ivfpq_residual_multiprobe_topk(spark, sf_dir).select("vec_id"),
+    )
+    # global rows (FAISS convention): ground truth = exact-L2 top-5 over
+    # the WHOLE corpus, probe keeps its cell restriction — prices
+    # cell-pruning loss + ADC error together on a FIXED target, making
+    # single-cell vs multiprobe directly comparable. The full-corpus
+    # exact scan is the recall-QA sample cost, not a serving path.
+    all_cand = emb.filter(F.col("vec_id") != 0).select("vec_id")
+    g1 = score(
+        "pq_residual_global", all_cand,
+        q_knn_ivfpq_residual_topk(spark, sf_dir).select("vec_id"),
+    )
+    g2 = score(
+        "pq_residual_mp_global", all_cand,
+        q_knn_ivfpq_residual_multiprobe_topk(spark, sf_dir).select("vec_id"),
+    )
+    return (
+        raw.unionByName(res).unionByName(mp)
+        .unionByName(g1).unionByName(g2)
+    )

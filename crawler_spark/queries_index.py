@@ -350,24 +350,22 @@ def q_knn_ivfpq_residual_indexed_topk(spark, sf_dir):
 _PQR_NPROBE = 2
 
 
-def _pqr_multiprobe_sql() -> str:
-    from crawler_spark.queries_media import (
-        _KM_ITERS,
-        _PQ_DIM,
-        _PQ_SUBS,
-        _PQR_TRAIN_CTES,
-        _pqr_dist_ctes,
-    )
+def _pqr_mp_parts():
+    """(mp_ctes, adc_expr): the multiprobe CTE chain — probe (nprobe
+    nearest trained cells by the kd coarse ranking) through pqm (one
+    query-residual LUT row per probed cell) — plus the per-cell ADC
+    expression scoring code row `c` against ITS cell's LUT `m`. Shared
+    by the registered probe and pq_recall_report's multiprobe row so
+    the two can never drift. Assumes the _PQR_TRAIN_CTES +
+    _pqr_dist_ctes names (kd, e, c{iters}, cta, kaf) are in scope."""
+    from crawler_spark.queries_media import _KM_ITERS, _PQ_DIM, _PQ_SUBS
 
     pqm_cols = ", ".join(
         f"max(CASE WHEN sub = {s} THEN ds END) AS qd{s}"
         for s in range(_PQ_SUBS)
     )
     adcm = " + ".join(f"m.qd{s}[c.cd{s}]" for s in range(_PQ_SUBS))
-    return """
-    WITH {train},
-    {dist},
-    probe AS (
+    ctes = """probe AS (
       SELECT cell FROM (
         SELECT cell, row_number() OVER (ORDER BY d ASC, cell ASC) AS rk
         FROM kd WHERE vec_id = 0
@@ -390,7 +388,19 @@ def _pqr_multiprobe_sql() -> str:
     ),
     qdarr AS (SELECT cell, sub, list(d ORDER BY cid) AS ds
               FROM dq GROUP BY cell, sub),
-    pqm AS (SELECT cell, {pqm} FROM qdarr GROUP BY cell)
+    pqm AS (SELECT cell, {pqm} FROM qdarr GROUP BY cell)""".format(
+        nprobe=_PQR_NPROBE, pdim=_PQ_DIM, kml=_KM_ITERS, pqm=pqm_cols)
+    return ctes, adcm
+
+
+def _pqr_multiprobe_sql() -> str:
+    from crawler_spark.queries_media import _PQR_TRAIN_CTES, _pqr_dist_ctes
+
+    mp_ctes, adcm = _pqr_mp_parts()
+    return """
+    WITH {train},
+    {dist},
+    {mp}
     SELECT c.vec_id, round(1e-9 + {adcm}, 4) AS adc_dist
     FROM pcodes c
     JOIN kaf l ON l.vec_id = c.vec_id
@@ -399,8 +409,26 @@ def _pqr_multiprobe_sql() -> str:
     ORDER BY round(1e-9 + {adcm}, 4) ASC, c.vec_id ASC
     LIMIT 5
 """.format(train=_PQR_TRAIN_CTES.strip(), dist=_pqr_dist_ctes.strip(),
-           nprobe=_PQR_NPROBE, pdim=_PQ_DIM, kml=_KM_ITERS,
-           pqm=pqm_cols, adcm=adcm)
+           mp=mp_ctes, adcm=adcm)
+
+
+def query_pqr_probe_cells(spark, sf_dir):
+    """The query's nprobe nearest TRAINED coarse cells, ranked by the
+    shared coarse_cell_dists expression (9dp round, cell-id tiebreak) —
+    the Spark-side twin of the oracle's `probe` CTE."""
+    from crawler_spark.queries_media import (
+        coarse_cell_dists,
+        trained_coarse_centroids,
+    )
+
+    cents = trained_coarse_centroids(spark, sf_dir)
+    qemb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    cds = list(
+        qemb.select(coarse_cell_dists(cents).alias("cds")).collect()[0]["cds"]
+    )
+    return sorted(
+        range(1, len(cents) + 1), key=lambda c: (cds[c - 1], c)
+    )[:_PQR_NPROBE]
 
 
 @register("knn_ivfpq_residual_multiprobe_topk", _pqr_multiprobe_sql())
@@ -416,7 +444,6 @@ def q_knn_ivfpq_residual_multiprobe_topk(spark, sf_dir):
     from crawler_spark.operators.vindex import ensure_pq_codes
     from crawler_spark.queries_media import (
         _PQ_SUBS,
-        coarse_cell_dists,
         residual_dist_frame,
         trained_coarse_centroids,
         trained_residual_codebooks,
@@ -425,12 +452,7 @@ def q_knn_ivfpq_residual_multiprobe_topk(spark, sf_dir):
     books = trained_residual_codebooks(spark, sf_dir)
     cents = trained_coarse_centroids(spark, sf_dir)
     qemb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
-    cds = list(
-        qemb.select(coarse_cell_dists(cents).alias("cds")).collect()[0]["cds"]
-    )
-    cells = sorted(
-        range(1, len(cents) + 1), key=lambda c: (cds[c - 1], c)
-    )[:_PQR_NPROBE]
+    cells = query_pqr_probe_cells(spark, sf_dir)
     luts = {
         c: residual_dist_frame(qemb, cents, books, cell=c).collect()[0]
         for c in cells
