@@ -84,15 +84,28 @@ def test_residual_pq_distortion_beats_raw(spark):
 
 
 def test_pq_recall_report_well_formed(spark):
-    # recall@5 vs the exact-L2 top-5 within the probed cell: a fraction,
-    # with n_hit consistent and a non-empty pruned candidate set that is
-    # still a strict subset of the corpus
+    # cell-scoped rows: recall@5 vs the exact-L2 top-5 within the probed
+    # cell(s), candidate set non-empty and a strict subset of the corpus.
+    # global rows: ground truth is the exact top-5 over the WHOLE corpus
+    # (FAISS convention), so n_cand is exactly the n-1 non-query vectors.
     from crawler_spark.queries_eval import q_pq_recall_report
 
     rows = {r["scheme"]: r for r in q_pq_recall_report(spark, SF).collect()}
-    assert set(rows) == {"pq_raw", "pq_residual"}
+    cell_scoped = {"pq_raw", "pq_residual", "pq_residual_multiprobe"}
+    glob = {"pq_residual_global", "pq_residual_mp_global"}
+    assert set(rows) == cell_scoped | glob
     n = spark.read.parquet(SF + "/embeddings.parquet").count()
     for r in rows.values():
         assert 0.0 <= r["recall_at_5"] <= 1.0
         assert r["n_hit"] == round(r["recall_at_5"] * 5)
-        assert 0 < r["n_cand"] < n - 1
+    for s in cell_scoped:
+        assert 0 < rows[s]["n_cand"] < n - 1
+    for s in glob:
+        assert rows[s]["n_cand"] == n - 1
+    # probe widening: the multiprobe candidate set strictly contains the
+    # single-cell set, and on the FIXED global target the multiprobe's
+    # recall can only match or beat the single-cell probe's
+    assert (rows["pq_residual_multiprobe"]["n_cand"]
+            > rows["pq_residual"]["n_cand"])
+    assert (rows["pq_residual_mp_global"]["recall_at_5"]
+            >= rows["pq_residual_global"]["recall_at_5"])
