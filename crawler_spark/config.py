@@ -27,6 +27,10 @@ class CrawlConfig:
     universe: int = 10_000
     n_seeds: int = 32
     k_per_host: int = 8
+    # scale each host's pop cap with the decade of its ready-queue depth
+    # (cap = k_per_host * digits(depth), still politeness-bounded) — the
+    # host_depth_histogram signal fed back into the pop
+    adaptive_pop_caps: bool = False
     tick_secs: int = 6 * 3600
     t0_epoch: int = 1_700_000_000
     n_shards: int = 16

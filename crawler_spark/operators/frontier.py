@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 
 POP_ORDER = ("priority", "next_fetch_ts", "url_hash")
 
+# Adaptive pop caps scale with the DECADE of a host's ready-queue depth
+# (the same integer digits(n) bucketing host_depth_histogram reports):
+# cap = k_per_host * digits(depth). A positive int64 has at most 19
+# digits, so k * 19 is the literal upper bound the window pre-filter can
+# use while still triggering Catalyst's InferWindowGroupLimit.
+ADAPTIVE_MAX_DIGITS = 19
+
 # pop-priority classes (lower pops first): seeds, then fresh discoveries,
 # then recrawls — the three reference producers (src/main.rs:87-106)
 PRIORITY_SEED = 0
@@ -47,9 +54,10 @@ def pop(
     k_per_host: int,
     host_budget: DataFrame | None = None,
     global_k: int | None = None,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Pop the next batch: per-host rank by (priority, next_fetch_ts,
-    url_hash) and take at most min(k_per_host, host's remaining politeness
+    url_hash) and take at most min(cap, host's remaining politeness
     budget); optionally cap the whole batch at global_k by the same total
     order.
 
@@ -59,24 +67,39 @@ def pop(
     ~ GBs) drop the explicit broadcast hint and let AQE choose: the ready
     slice is already shuffled by host_hash for the window, so a shuffled
     hash join adds no extra exchange on the big side.
+
+    `adaptive=True` feeds host_depth_histogram's skew signal back into
+    the pop: cap = k_per_host * digits(host's ready depth) — a host with
+    10^d queued URLs drains d+1 times faster than a shallow one, so deep
+    queues shrink logarithmically instead of starving behind a flat cap,
+    while the politeness budget still bounds every host (the cap NEVER
+    exceeds the quota/min-delay allowance). Depth is a map-side-combined
+    (host, count) aggregate over the same ready slice — one tiny extra
+    shuffle, broadcast back like the budget. Mirrored EXACTLY in
+    simulator._pop (pop-order parity contract).
     """
     r = ready(frontier, as_of_ts)
     w = Window.partitionBy("host_hash").orderBy(
         F.col("priority").asc(), F.col("next_fetch_ts").asc(), F.col("url_hash").asc()
     )
-    # Filter by the LITERAL k first: Catalyst's InferWindowGroupLimit only
+    # Filter by a LITERAL first: Catalyst's InferWindowGroupLimit only
     # fires on `rank <= literal`, inserting map-side per-group top-k
     # pruning BEFORE the window shuffle (the window analogue of partial
     # aggregation) — without it every ready row is shuffled and sorted.
-    # The politeness cap (a per-host column, always <= k) is applied after.
+    # The per-host caps (columns, always <= the literal) are applied after.
+    lit_cap = k_per_host * (ADAPTIVE_MAX_DIGITS if adaptive else 1)
     ranked = r.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= F.lit(k_per_host)
+        F.col("__rn") <= F.lit(lit_cap)
     )
+    cap = F.lit(k_per_host)
+    if adaptive:
+        depth = r.groupBy("host_hash").agg(F.count(F.lit(1)).alias("__depth"))
+        ranked = ranked.join(F.broadcast(depth), "host_hash")
+        cap = F.lit(k_per_host) * F.length(F.col("__depth").cast("string"))
     if host_budget is not None:
-        ranked = ranked.join(F.broadcast(host_budget), "host_hash", "left").filter(
-            F.col("__rn") <= F.least(F.lit(k_per_host), F.coalesce(F.col("budget"), F.lit(0)))
-        )
-    popped = ranked.drop("__rn", "budget")
+        ranked = ranked.join(F.broadcast(host_budget), "host_hash", "left")
+        cap = F.least(cap, F.coalesce(F.col("budget"), F.lit(0)))
+    popped = ranked.filter(F.col("__rn") <= cap).drop("__rn", "budget", "__depth")
     if global_k is not None:
         popped = popped.orderBy(*[F.col(c).asc() for c in POP_ORDER]).limit(global_k)
     return popped

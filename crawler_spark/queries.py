@@ -150,6 +150,51 @@ def q_frontier_pop_topk(spark, sf_dir):
 
 
 @register(
+    "frontier_pop_adaptive",
+    """
+    WITH f AS (
+      SELECT event_type, event_id, ts FROM events
+      WHERE ts <= TIMESTAMP '2024-01-20'
+    ),
+    d AS (SELECT event_type, count(*) AS depth FROM f GROUP BY 1),
+    r AS (
+      SELECT event_type, event_id, ts,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rn
+      FROM f
+    )
+    SELECT r.event_type, r.event_id, r.ts
+    FROM r JOIN d USING (event_type)
+    WHERE rn <= 2 * len(CAST(depth AS VARCHAR))
+    """,
+)
+def q_frontier_pop_adaptive(spark, sf_dir):
+    """S4/W1 adaptive variant: the depth-decade pop cap — each host's
+    per-batch take is k * digits(its ready-queue depth), the
+    host_depth_histogram skew signal fed back into the pop (a host with
+    10^d queued URLs drains (d+1)x faster instead of starving behind a
+    flat cap). Runs the REAL frontier.pop(adaptive=True) operator:
+    literal-bounded WindowGroupLimit rank + a map-side-combined
+    (host, count) depth agg broadcast back; integer digits() bucketing —
+    no float log boundary to disagree across engines. Events stand in as
+    the frontier: event_type=host, ts=next_fetch_ts, event_id=url_hash."""
+    from crawler_spark.operators import frontier as frontier_op
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("host_hash"),
+        F.lit(0).alias("priority"),
+        F.col("ts").alias("next_fetch_ts"),
+        F.col("event_id").alias("url_hash"),
+    )
+    popped = frontier_op.pop(ev, "2024-01-20", k_per_host=2, adaptive=True)
+    return popped.select(
+        F.col("host_hash").alias("event_type"),
+        F.col("url_hash").alias("event_id"),
+        F.col("next_fetch_ts").alias("ts"),
+    )
+
+
+@register(
     "point_lookup",
     "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42",
 )

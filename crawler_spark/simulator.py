@@ -50,9 +50,13 @@ class CrawlSimulator:
         t0_epoch: int = 1_700_000_000,
         discovery_interval_secs: int = 0,
         recrawl_interval_secs: int = 0,
+        adaptive_pop_caps: bool = False,
     ):
         self.universe = universe
         self.k_per_host = k_per_host
+        # mirror of frontier.pop(adaptive=True): per-host cap scales with
+        # the decade of the host's READY queue depth (digits of the count)
+        self.adaptive_pop_caps = adaptive_pop_caps
         self.tick_secs = tick_secs
         self.t0_epoch = t0_epoch
         self.batch_id = 0
@@ -115,6 +119,10 @@ class CrawlSimulator:
         ]
         ready.sort(key=lambda r: (r["priority"], r["next_fetch_epoch"], r["url_hash"]))
         today = pacific_day(as_of)
+        depth_per_host: dict[int, int] = {}
+        if self.adaptive_pop_caps:
+            for r in ready:
+                depth_per_host[r["host_hash"]] = depth_per_host.get(r["host_hash"], 0) + 1
         taken_per_host: dict[int, int] = {}
         out = []
         for r in ready:
@@ -123,7 +131,10 @@ class CrawlSimulator:
             budget = daily if day < today else max(daily - used, 0)
             # min-delay rate cap: fetches that fit one batch window
             rate_cap = (self.tick_secs * 1000) // max(self.min_delay.get(hh, 1), 1)
-            cap = min(self.k_per_host, budget, rate_cap)
+            base_cap = self.k_per_host * (
+                len(str(depth_per_host[hh])) if self.adaptive_pop_caps else 1
+            )
+            cap = min(base_cap, budget, rate_cap)
             if taken_per_host.get(hh, 0) < cap:
                 taken_per_host[hh] = taken_per_host.get(hh, 0) + 1
                 out.append(r)

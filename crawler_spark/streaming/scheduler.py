@@ -55,6 +55,7 @@ class CrawlScheduler:
         universe: int = 10_000,
         n_seeds: int = 32,
         k_per_host: int = 8,
+        adaptive_pop_caps: bool = False,
         tick_secs: int = 6 * 3600,
         t0_epoch: int = 1_700_000_000,
         n_shards: int = seen.N_SHARDS_DEFAULT,
@@ -95,6 +96,9 @@ class CrawlScheduler:
         self.universe = universe
         self.n_seeds = n_seeds
         self.k_per_host = k_per_host
+        # depth-decade pop caps (frontier.pop(adaptive=True)); mirrored
+        # in simulator._pop — part of the pop-order parity contract
+        self.adaptive_pop_caps = adaptive_pop_caps
         self.tick_secs = tick_secs
         self.t0_epoch = t0_epoch
         self.n_shards = n_shards
@@ -254,7 +258,9 @@ class CrawlScheduler:
             F.col("last_fetch_ts").isNull()
         )
         budget = politeness.remaining_budget(polite, as_of, self.tick_secs)
-        popped = frontier_op.pop(pop_src, as_of, self.k_per_host, budget).persist()
+        popped = frontier_op.pop(
+            pop_src, as_of, self.k_per_host, budget, adaptive=self.adaptive_pop_caps
+        ).persist()
         n_popped = popped.count()
         if n_popped == 0:
             popped.unpersist()  # empty batches must not leak cached blocks
@@ -787,7 +793,9 @@ class CrawlScheduler:
         budget = politeness.remaining_budget(
             self.store.read("politeness"), as_of, self.tick_secs
         )
-        popped = frontier_op.pop(frontier, as_of, self.k_per_host, budget)
+        popped = frontier_op.pop(
+            frontier, as_of, self.k_per_host, budget, adaptive=self.adaptive_pop_caps
+        )
         rows = popped.orderBy(*[F.col(c).asc() for c in frontier_op.POP_ORDER]).select(
             "url_hash"
         ).collect()

@@ -82,3 +82,36 @@ def test_recrawl_disabled_never_repops(spark, tmp_path_factory):
     assert st2["popped"] == 0  # everything already fetched once
     fetched_rows = s.store.read("frontier").filter(F.col("last_fetch_ts").isNotNull())
     assert fetched_rows.count() == st1["popped"]
+
+def test_adaptive_pop_caps_parity(spark, tmp_path_factory):
+    """adaptive_pop_caps (depth-decade pop caps, frontier.pop(adaptive=True))
+    must keep engine == simulator batch-for-batch in the SAME mode — pop
+    order, counters, politeness ledger — and must actually bite (the
+    adaptive run pops differently from a flat-cap twin)."""
+    from crawler_spark.simulator import CrawlSimulator
+
+    P = dict(universe=500, n_seeds=10, k_per_host=2, tick_secs=6 * 3600)
+    root = str(tmp_path_factory.mktemp("adaptivepop"))
+    eng = CrawlScheduler(spark, root, adaptive_pop_caps=True,
+                         use_sketch=False, lineage_hashes=False, **P)
+    eng.init()
+    sim = CrawlSimulator(adaptive_pop_caps=True, **P)
+    flat = CrawlSimulator(**P)
+    eng_stats, sim_stats, eng_pops = [], [], []
+    for _ in range(4):
+        batch_id = int(eng.store.properties().get("batch_id", 0))
+        as_of = P["tick_secs"] * batch_id + eng.t0_epoch
+        eng_pops.append(eng.popped_order(as_of))
+        eng_stats.append(eng.run_batch())
+        sim_stats.append(sim.run_batch())
+        flat.run_batch()
+    assert eng_stats == sim_stats
+    for b in range(4):
+        assert eng_pops[b] == sim.pop_log[b], f"batch {b} pop order"
+    # non-vacuity: a host crossed a depth decade, so the caps diverged
+    assert sim.pop_log != flat.pop_log
+    # politeness ledger parity (the cap never exceeded any host's budget)
+    rows = eng.store.read("politeness").collect()
+    eng_pol = {r["host_hash"]: (r["used_quota"], r["quota_day"]) for r in rows}
+    sim_pol = {h: (v[0], v[2]) for h, v in sim.politeness.items()}
+    assert eng_pol == sim_pol

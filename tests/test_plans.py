@@ -86,6 +86,13 @@ def test_frontier_pop_has_window_group_limit():
     p = plan_str(frontier_op.pop(fr, datetime(2023, 1, 1), k_per_host=5))
     assert "WindowGroupLimit" in p  # map-side per-host top-k pruning
 
+    # adaptive depth-decade caps must keep the map-side group limit: the
+    # rank is still filtered against a LITERAL (k * max digits) before the
+    # per-host column caps apply, so hot hosts never shuffle their full queue
+    pa = plan_str(frontier_op.pop(fr, datetime(2023, 1, 1), k_per_host=5, adaptive=True))
+    assert "WindowGroupLimit" in pa
+    assert "CartesianProduct" not in pa and "BroadcastNestedLoop" not in pa
+
 
 def test_bucketed_join_has_no_shuffle():
     """Co-located join: two tables bucketed+sorted on the join key join
