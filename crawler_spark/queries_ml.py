@@ -48,12 +48,17 @@ WORDS_SQL = "string_split_regex(trim(lower({x})), '\\s+')"
 
 
 def _shingles(col, k: int = 3):
-    """k-word shingles as an array column (empty-safe)."""
+    """k-word shingles as an array column (empty-safe). Uses 0-based
+    F.get (null past the end — concat_ws skips nulls) rather than ANSI
+    element_at, so a doc with fewer than k words yields its one short
+    shingle instead of an ArrayIndexOutOfBounds error; identical output
+    for every in-bounds access. Matches DuckDB's clamping list slice in
+    _shingles_sql."""
     w = _words(col)
     n = F.greatest(F.size(w) - (k - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+        lambda i: F.concat_ws(" ", *[F.get(w, i + j - 1) for j in range(k)]),
     )
 
 
@@ -914,6 +919,118 @@ def q_dedup_crossdoc_ngram(spark, sf_dir):
             frac.alias("dup_frac"),
         )
         .withColumn("keep", F.col("dup_frac") <= F.lit(_CROSSDOC_DUP_MAX))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better": remove token spans of >= k that occur more
+# than once corpus-wide — the suffix-array dedup, re-expressed relationally).
+# A token position is duplicated iff a k-gram covering it occurs >= 2 times
+# in the corpus (within-doc repeats count, like the suffix array's total-
+# occurrence semantics). Per-doc duplicated coverage = the union length of
+# the duplicated k-gram intervals — computed WITHOUT per-row loops: sort the
+# duplicate gram starts per doc, and each start contributes
+# min(k, gap to the next start, tokens remaining) via one lead() window.
+#
+# Scale shape: gram hashes become longs BEFORE the explode (no string
+# row-expansion); the corpus frequency agg map-side combines on uniform
+# 60-bit keys; the join back reuses the same gram-hash exchange; the span
+# window partitions by doc_id (uniform); no posting arrays anywhere. Three
+# shuffles total, independent of corpus size.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5
+_SPAN_DUP_MAX = 0.5
+
+_SPAN_SQL = """
+    WITH base AS (
+      SELECT doc_id, len({words}) AS n_words,
+             list_transform({shingles}, s -> {h}) AS sh
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_words,
+             unnest(range(1, len(sh) + 1)) AS pos,
+             unnest(sh) AS g_h
+      FROM base
+    ),
+    freq AS (SELECT g_h, count(*) AS cnt FROM g GROUP BY 1),
+    dup AS (
+      SELECT doc_id, n_words, pos FROM g JOIN freq USING (g_h) WHERE cnt >= 2
+    ),
+    cov AS (
+      SELECT doc_id,
+             greatest(least({k},
+               coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, {k}),
+               n_words - pos + 1), 0) AS c
+      FROM dup
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_dup_grams,
+             CAST(sum(c) AS BIGINT) AS covered_tokens
+      FROM cov GROUP BY 1
+    )
+    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+           coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(a.covered_tokens, 0) AS covered_tokens,
+           round(1e-9 + coalesce(a.covered_tokens, 0) * 1.0
+                 / greatest(b.n_words, 1), 4) AS dup_span_frac,
+           round(1e-9 + coalesce(a.covered_tokens, 0) * 1.0
+                 / greatest(b.n_words, 1), 4) <= {cap} AS keep
+    FROM base b LEFT JOIN agg a USING (doc_id)
+""".format(words=WORDS_SQL.format(x="text"), shingles=_shingles_sql("text", 5),
+           h=MD5H_SQL.format(x="s"), k=_SPAN_K, cap=_SPAN_DUP_MAX)
+
+
+@register("dedup_duplicate_spans", _SPAN_SQL)
+def q_dedup_duplicate_spans(spark, sf_dir):
+    """Per-doc duplicated-span coverage over 5-gram hashes (the
+    suffix-array exact-substring dedup of Lee et al. 2022 expressed as
+    explode + frequency agg + one lead() window for the interval union);
+    keep flag from the ROUNDED fraction. All JVM-side — no EvalPython."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("long").alias("n_words"),
+        F.transform(_shingles(F.col("text"), _SPAN_K), md5h).alias("sh"),
+    )
+    g = base.select(
+        "doc_id", "n_words", F.posexplode("sh").alias("pos0", "g_h")
+    ).select("doc_id", "n_words", (F.col("pos0") + 1).cast("long").alias("pos"), "g_h")
+    freq = g.groupBy("g_h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = g.join(freq, "g_h").filter(F.col("cnt") >= 2).select("doc_id", "n_words", "pos")
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    k = F.lit(_SPAN_K).cast("long")
+    c = F.greatest(
+        F.least(
+            k,
+            F.coalesce(F.lead("pos").over(w) - F.col("pos"), k),
+            F.col("n_words") - F.col("pos") + 1,
+        ),
+        F.lit(0).cast("long"),
+    )
+    agg = dup.select("doc_id", c.alias("c")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum("c").alias("covered_tokens"),
+    )
+    frac = F.round(
+        F.lit(1e-9)
+        + F.coalesce(F.col("covered_tokens"), F.lit(0))
+        / F.greatest(F.col("n_words"), F.lit(1)),
+        4,
+    )
+    return (
+        base.select("doc_id", "n_words")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
+            frac.alias("dup_span_frac"),
+        )
+        .withColumn("keep", F.col("dup_span_frac") <= F.lit(_SPAN_DUP_MAX))
     )
 
 

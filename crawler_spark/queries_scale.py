@@ -313,7 +313,16 @@ def q_host_depth_histogram(spark, sf_dir):
     hot host's full queue."""
     ev = _t(spark, sf_dir, "events")
     c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
-    h = c.groupBy(
+    return decade_rollup(c)
+
+
+def decade_rollup(per_host):
+    """Decade histogram over per-host counts (one row per host, column
+    `n`) — the ONE definition shared by the batch host_depth_histogram
+    query and the streaming twin's sink rollup (streams.
+    host_depth_counts), so the two cannot drift. Stateless: two hash
+    aggs + a broadcast 1-row total over an already host-sized input."""
+    h = per_host.groupBy(
         "event_type", F.length(F.col("n").cast("string")).alias("digits")
     ).agg(
         F.count(F.lit(1)).alias("n_hosts"),
@@ -321,7 +330,7 @@ def q_host_depth_histogram(spark, sf_dir):
         F.max("n").alias("max_depth"),
         F.sum("n").alias("urls"),
     )
-    tot = c.agg(F.sum("n").alias("tot"))
+    tot = per_host.agg(F.sum("n").alias("tot"))
     return h.crossJoin(F.broadcast(tot)).select(
         "event_type", "digits", "n_hosts", "min_depth", "max_depth", "urls",
         F.round(F.col("urls") / F.col("tot") + F.lit(1e-9), 4).alias("share"),

@@ -117,6 +117,21 @@ def stateful_first_seen(events: DataFrame) -> DataFrame:
     )
 
 
+def host_depth_counts(events: DataFrame) -> DataFrame:
+    """The streaming twin of host_depth_histogram's stateful half:
+    running per-host queue-depth counts over a continuously-arriving
+    event/frontier stream — the live feed for the skew monitor and the
+    adaptive pop caps (frontier.pop(adaptive=True)). One stateful
+    aggregation keyed (event_type, user_id), drained in complete mode;
+    the decade rollup is STATELESS over this host-sized output
+    (queries_scale.decade_rollup — the single shared definition), kept
+    outside the stream because chained streaming aggregations are
+    unsupported and the rollup input is one row per host anyway."""
+    return events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, checkpoint_dir: str, mode: str | None = None):
     """Drain all available input (availableNow trigger) into a memory
     sink; returns after the stream completes — deterministic for tests.

@@ -236,3 +236,45 @@ def test_unionfind_fast_path_equals_distributed_loop(spark, monkeypatch):
     # to 1 but would win a component without a smaller seed
     assert dict(got_fast)[5] == 1 and dict(got_fast)[13] == 10
     assert dict(got_fast)[20] == 20
+
+
+def test_duplicate_spans_interval_union(spark, tmp_path):
+    """Pins the lead()-window interval-union math of dedup_duplicate_spans
+    on constructed docs: overlapping dup grams chain (gap 1), disjoint
+    islands add, spans truncate at doc end, sub-k docs count their real
+    token length, and the 0.5 keep boundary is inclusive."""
+    from crawler_spark.queries_ml import q_dedup_duplicate_spans
+
+    texts = {
+        0: "a b c d e f g h i j",                            # all unique
+        1: "x1 x2 x3 x4 x5 x6 x7",                           # == doc 2
+        2: "x1 x2 x3 x4 x5 x6 x7",
+        3: "m1 m2 m3 m4 x1 x2 x3 x4 x5 m5",                  # one dup island
+        4: "x1 x2 x3 x4 x5",                                 # exactly k words
+        5: "x1 x2 x3 x4 x5 q1 q2 q3 q4 q5 q6 x1 x2 x3 x4 x5",  # two islands
+        6: "y1 y2 y3",                                       # sub-k twin
+        7: "y1 y2 y3",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q_dedup_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    exp = {
+        0: (10, 0, 0, 0.0, True),
+        1: (7, 3, 7, 1.0, False),    # starts 1,2,3: 1+1+5 (chained overlap)
+        2: (7, 3, 7, 1.0, False),
+        3: (10, 1, 5, 0.5, True),    # inclusive keep boundary
+        4: (5, 1, 5, 1.0, False),
+        5: (16, 2, 10, 0.625, False),  # disjoint islands add
+        6: (3, 1, 3, 1.0, False),    # sub-k doc covers its real length
+        7: (3, 1, 3, 1.0, False),
+    }
+    for d, (nw, ng, cov, frac, keep) in exp.items():
+        r = rows[d]
+        got = (r["n_words"], r["n_dup_grams"], r["covered_tokens"],
+               r["dup_span_frac"], r["keep"])
+        assert got == (nw, ng, cov, frac, keep), f"doc {d}: {got}"

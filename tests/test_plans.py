@@ -133,7 +133,7 @@ _JVM_ONLY = [
     "dedup_paragraphs", "knn_ivfpq_topk", "image_caption_filter",
     "corpus_funnel_report", "knn_batch_topk", "training_mix_plan",
     "quality_tier_stats", "ivf_train_kmeans", "text_lm_perplexity",
-    "host_depth_histogram",
+    "host_depth_histogram", "frontier_pop_adaptive", "dedup_duplicate_spans",
 ]
 
 

@@ -103,3 +103,30 @@ def test_stateful_rate_limit_caps_per_key(spark, tmp_path):
     a = set(map(tuple, got[["user_id", "event_id"]].itertuples(index=False)))
     b = set(map(tuple, truth.itertuples(index=False)))
     assert a == b
+
+def test_host_depth_counts_match_batch(spark, events_dir, tmp_path_factory):
+    """The streaming per-host depth counts, rolled up through the SHARED
+    decade_rollup, equal the batch host_depth_histogram query on the same
+    events — the skew monitor's live feed cannot drift from the registered
+    query (queries_scale.decade_rollup is the one definition)."""
+    from crawler_spark.queries_scale import decade_rollup, q_host_depth_histogram
+
+    ev = streams.events_stream(spark, events_dir)
+    df = streams.host_depth_counts(ev)
+    streams.run_to_memory(
+        df, "host_depth", str(tmp_path_factory.mktemp("ckpt_h")), mode="complete"
+    )
+    live = decade_rollup(spark.sql("SELECT * FROM host_depth")).collect()
+    batch = q_host_depth_histogram(spark, SF_SMALL).collect()
+
+    def snap(rows):
+        return {
+            (r["event_type"], r["digits"]): (
+                r["n_hosts"], r["min_depth"], r["max_depth"], r["urls"], r["share"]
+            )
+            for r in rows
+        }
+
+    got, want = snap(live), snap(batch)
+    assert got == want
+    assert len(got) >= 3
