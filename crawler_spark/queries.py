@@ -335,6 +335,66 @@ def q_term_theta_join(spark, sf_dir):
     )
 
 
+@register(
+    "robots_admission",
+    """
+    WITH cand AS (
+      SELECT o_orderkey AS url_hash,
+             o_custkey % 97 AS host_hash,
+             'http://h' || (o_custkey % 97) || '.test/'
+               || lower(replace(o_orderpriority, ' ', '-'))
+               || '/p' || o_orderkey AS url,
+             '/' || lower(replace(o_orderpriority, ' ', '-'))
+               || '/p' || o_orderkey AS path
+      FROM orders
+    )
+    SELECT url_hash, host_hash, url FROM cand
+    WHERE CASE
+      WHEN host_hash % 5 = 4 THEN TRUE                  -- no rules: allowed
+      WHEN path LIKE '/1-urgent%' THEN host_hash % 3 = 0 -- longest prefix
+      ELSE host_hash % 2 = 0                             -- the '/' rule
+    END
+    """,
+)
+def q_robots_admission(spark, sf_dir):
+    """North-rule robots compliance as a checked query: the REAL
+    operators.robots.filter_allowed (broadcast rules join + explode +
+    longest-matching-prefix max_by verdict, ref blacklist deny semantics
+    src/repos/blacklist_repo.rs:20-35 generalized to per-path rules) run
+    over candidate URLs and a rules table both derived deterministically
+    from the orders table, so the DuckDB oracle can state the
+    longest-prefix-wins verdict in closed form. Hosts ≡4 (mod 5) carry
+    NO rules row (default allow, the explode_outer branch); every ruled
+    host has a '/' rule (allow iff host even) shadowed by a longer
+    '/1-urgent' rule (allow iff host ≡0 mod 3) on urgent paths."""
+    from crawler_spark.operators.robots import filter_allowed
+
+    o = _t(spark, sf_dir, "orders")
+    host = (F.col("o_custkey") % 97).cast("long")
+    cand = o.select(
+        F.col("o_orderkey").cast("long").alias("url_hash"),
+        host.alias("host_hash"),
+        F.concat(
+            F.lit("http://h"), host.cast("string"), F.lit(".test/"),
+            F.lower(F.translate(F.col("o_orderpriority"), " ", "-")),
+            F.lit("/p"), F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+    )
+    h = F.col("host_hash")
+    rules = (
+        cand.select("host_hash").distinct()
+        .filter(h % 5 != 4)
+        .select(
+            "host_hash",
+            F.array(
+                F.struct((h % 2 == 0).alias("allow"), F.lit("/").alias("path_prefix")),
+                F.struct((h % 3 == 0).alias("allow"), F.lit("/1-urgent").alias("path_prefix")),
+            ).alias("rules"),
+        )
+    )
+    return filter_allowed(cand, rules)
+
+
 # ===========================================================================
 # §2.4 Aggregations (A1-A6)
 # ===========================================================================
