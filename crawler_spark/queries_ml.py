@@ -1596,3 +1596,108 @@ def q_text_lm_perplexity(spark, sf_dir):
             F.round(F.avg(-F.col("logp")) + F.lit(1e-9), 4).alias("nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw doc by the
+# log-likelihood ratio of its hashed n-gram features under a TARGET-domain
+# bag-of-ngrams model vs the RAW-corpus model, then keep the top-K. Both
+# models are add-one-smoothed multinomials over B hash buckets, trained
+# in-engine from the corpus itself (target = a deterministic doc subset
+# standing in for "looks like Wikipedia").
+#
+# Scale shape: one explode of hashed uni+bigram features (longs, never
+# strings, before the row expansion); BOTH feature distributions are one
+# hash agg over that explode collapsing to <= B rows, so the per-feature
+# log-ratio table is broadcast back onto the feature stream — the corpus
+# never shuffles for scoring; the per-doc sum is one doc_id agg; the final
+# top-K is TakeOrderedAndProject (no global sort materialized). Two
+# shuffles + a top-K at any corpus size.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096          # hash buckets per feature distribution
+_DSIR_K = 200           # resample size
+_DSIR_MOD, _DSIR_RES = 17, 3   # target domain := doc_id % 17 == 3
+
+_DSIR_SQL = """
+    WITH g AS (
+      SELECT doc_id, (doc_id % {m} = {r}) AS is_target,
+             ({h}) % {B} AS f
+      FROM (
+        SELECT doc_id, unnest(list_concat({words}, {bigrams})) AS s
+        FROM documents
+      )
+    ),
+    raw AS (SELECT f, count(*) AS c_r FROM g GROUP BY f),
+    tgt AS (SELECT f, count(*) AS c_t FROM g WHERE is_target GROUP BY f),
+    raw_tot AS (SELECT sum(c_r) AS n_r FROM raw),
+    tgt_tot AS (SELECT coalesce(sum(c_t), 0) AS n_t FROM tgt),
+    llr AS (
+      SELECT raw.f,
+             ln((coalesce(tgt.c_t, 0) + 1.0) / (tgt_tot.n_t + {B}))
+               - ln((raw.c_r + 1.0) / (raw_tot.n_r + {B})) AS llr
+      FROM raw LEFT JOIN tgt USING (f) CROSS JOIN raw_tot CROSS JOIN tgt_tot
+    ),
+    lw AS (
+      SELECT g.doc_id, g.is_target,
+             count(*) AS n_feats,
+             round(1e-9 + sum(llr.llr), 4) AS log_w
+      FROM g JOIN llr ON g.f = llr.f
+      GROUP BY g.doc_id, g.is_target
+    )
+    SELECT doc_id, is_target, n_feats, log_w
+    FROM lw ORDER BY log_w DESC, doc_id LIMIT {K}
+""".format(words=WORDS_SQL.format(x="text"), bigrams=_shingles_sql("text", 2),
+           h=MD5H_SQL.format(x="s"), B=_DSIR_B, K=_DSIR_K,
+           m=_DSIR_MOD, r=_DSIR_RES)
+
+
+@register("dsir_importance_resample", _DSIR_SQL)
+def q_dsir_importance_resample(spark, sf_dir):
+    """Top-K docs by DSIR log importance weight (hashed uni+bigram
+    bag-of-ngrams, add-one-smoothed target vs raw bucket distributions,
+    per-doc sum of per-feature log-likelihood ratios); rank on the
+    ROUNDED weight with doc_id tiebreak. All JVM-side — no EvalPython."""
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        "doc_id",
+        ((F.col("doc_id") % _DSIR_MOD) == _DSIR_RES).alias("is_target"),
+        F.explode(
+            F.concat(_words(F.col("text")), _shingles(F.col("text"), 2))
+        ).alias("s"),
+    ).select("doc_id", "is_target", (md5h(F.col("s")) % _DSIR_B).alias("f"))
+    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = feats.filter("is_target").groupBy("f").agg(F.count(F.lit(1)).alias("c_t"))
+    raw_tot = raw.agg(F.sum("c_r").alias("n_r"))
+    tgt_tot = tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("n_t"))
+    llr = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "f",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_t") + F.lit(_DSIR_B))
+                )
+                - F.log(
+                    (F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + F.lit(_DSIR_B))
+                )
+            ).alias("llr"),
+        )
+    )
+    lw = (
+        feats.join(F.broadcast(llr), "f")
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("llr") + F.lit(1e-9), 4).alias("log_w"),
+        )
+    )
+    return (
+        lw.select("doc_id", "is_target", "n_feats", "log_w")
+        .orderBy(F.col("log_w").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_K)
+    )

@@ -109,3 +109,38 @@ def test_pq_recall_report_well_formed(spark):
             > rows["pq_residual"]["n_cand"])
     assert (rows["pq_residual_mp_global"]["recall_at_5"]
             >= rows["pq_residual_global"]["recall_at_5"])
+
+
+def test_dsir_selects_target_looking_docs(spark, tmp_path):
+    """DSIR semantics on a constructed corpus: docs written in the target
+    domain's vocabulary — whether actually in the target subset
+    (doc_id % 17 == 3) or planted raw lookalikes — must outrank every
+    background doc, because their hashed-ngram features carry positive
+    target-vs-raw log-likelihood ratios. Pins that the weight is a
+    property of CONTENT, not of target membership."""
+    from crawler_spark.queries_ml import (
+        _DSIR_MOD, _DSIR_RES, q_dsir_importance_resample,
+    )
+
+    target_ids = {i for i in range(100) if i % _DSIR_MOD == _DSIR_RES}
+    planted = {10, 40}                      # raw docs written in target voice
+    assert planted.isdisjoint(target_ids)
+    voice_a = "quantum flux entropy lattice boson photon spin orbital"
+    voice_b = "market ledger invoice tariff escrow broker futures bond"
+    rows = [
+        (i, voice_a if (i in target_ids or i in planted) else voice_b)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = q_dsir_importance_resample(spark, str(tmp_path)).collect()
+    assert len(got) == 100                   # K=200 > corpus: total order
+    want_top = target_ids | planted
+    top = got[: len(want_top)]
+    assert {r["doc_id"] for r in top} == want_top
+    assert all(r["is_target"] == (r["doc_id"] in target_ids) for r in got)
+    # strict score separation between the two voices
+    assert min(r["log_w"] for r in top) > max(
+        r["log_w"] for r in got[len(want_top):]
+    )
