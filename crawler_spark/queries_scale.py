@@ -8,6 +8,7 @@ shape: a grouped aggregate where one key dominates)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from crawler_spark.queries import _t, register
@@ -334,4 +335,71 @@ def decade_rollup(per_host):
     return h.crossJoin(F.broadcast(tot)).select(
         "event_type", "digits", "n_hosts", "min_depth", "max_depth", "urls",
         F.round(F.col("urls") / F.col("tot") + F.lit(1e-9), 4).alias("share"),
+    )
+
+
+_DEPTH_QS = (0.5, 0.9, 0.99)
+
+_DEPTH_Q_SQL = """
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, count(*) AS n_hosts,
+           round(1e-9 + quantile_cont(n, 0.5), 4) AS p50,
+           round(1e-9 + quantile_cont(n, 0.9), 4) AS p90,
+           round(1e-9 + quantile_cont(n, 0.99), 4) AS p99,
+           max(n) AS max_depth
+    FROM c GROUP BY event_type
+"""
+
+
+@register("frontier_depth_quantiles", _DEPTH_Q_SQL)
+def q_frontier_depth_quantiles(spark, sf_dir):
+    """Exact interpolated p50/p90/p99 of per-host queue depth per
+    event_type — the skew monitor's tail summary, computed WITHOUT
+    Spark's exact `percentile` aggregate (which buffers every group
+    value in one agg buffer: O(hosts) task memory at 10^8 hosts).
+    Instead: one sort-shuffle row_number window over the host-sized
+    counts, per-group (n_hosts, max) from a bounded hash agg, and the
+    three quantile positions h = p*(n_hosts-1) resolved by TWO broadcast
+    positional joins (rank == floor(h)+1 and +2) with linear
+    interpolation — quantile_cont semantics, constant memory per task.
+    Matches DuckDB quantile_cont bit-for-bit at 4dp."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hosts"), F.max("n").alias("max_depth")
+    )
+    ranked = c.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("n"))
+    ).select("event_type", "rn", F.col("n").cast("double").alias("v"))
+    h = F.col("p") * (F.col("n_hosts") - 1)
+    probes = stats.select(
+        "event_type", "n_hosts",
+        F.explode(F.array(*[F.lit(p) for p in _DEPTH_QS])).alias("p"),
+    ).select(
+        "event_type", "p",
+        (F.floor(h) + 1).cast("int").alias("lo"),
+        (h - F.floor(h)).alias("frac"),
+    )
+    lo = ranked.withColumnRenamed("rn", "lo").withColumnRenamed("v", "v_lo")
+    hi = ranked.select(
+        "event_type", (F.col("rn") - 1).alias("lo"), F.col("v").alias("v_hi")
+    )
+    val = F.col("v_lo") + F.col("frac") * (
+        F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo")
+    )
+    q = (
+        lo.join(F.broadcast(probes), ["event_type", "lo"])
+        .join(hi, ["event_type", "lo"], "left")
+        .select("event_type", "p", F.round(val + F.lit(1e-9), 4).alias("q"))
+    )
+    piv = q.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("p") == F.lit(p), F.col("q"))).alias(name)
+            for p, name in zip(_DEPTH_QS, ("p50", "p90", "p99"))
+        ]
+    )
+    return stats.join(piv, "event_type").select(
+        "event_type", "n_hosts", "p50", "p90", "p99", "max_depth"
     )

@@ -134,7 +134,7 @@ _JVM_ONLY = [
     "corpus_funnel_report", "knn_batch_topk", "training_mix_plan",
     "quality_tier_stats", "ivf_train_kmeans", "text_lm_perplexity",
     "host_depth_histogram", "frontier_pop_adaptive", "dedup_duplicate_spans",
-    "robots_admission", "dsir_importance_resample",
+    "robots_admission", "dsir_importance_resample", "frontier_depth_quantiles",
 ]
 
 
