@@ -451,6 +451,38 @@ def q_dedup_canonical_docs(spark, sf_dir):
     )
 
 
+_SPLIT_VAL_PCT = 10
+
+_SPLIT_SQL = f"""
+    SELECT doc_id, cluster_id,
+           CASE WHEN ('0x'||substr(md5(cluster_id::VARCHAR),1,15))::BIGINT
+                     % 100 < {_SPLIT_VAL_PCT}
+                THEN 'val' ELSE 'train' END AS split
+    FROM ({_CC_SQL}) labels
+"""
+
+
+@register("leakage_safe_split", _SPLIT_SQL)
+def q_leakage_safe_split(spark, sf_dir):
+    """Train/val split assigned by NEAR-DUP CLUSTER, not by document: the
+    split bucket is a hash of cluster_id, so two near-duplicate documents
+    can never straddle the split — the eval-leakage trap a doc-keyed hash
+    split walks into (a val doc's near-twin in train inflates every
+    metric). Composes the memoized components result with one hash
+    filter: zero extra shuffles on top of the clustering, and the
+    assignment is reproducible across runs/engines/partitionings (same
+    md5-prefix convention as sample_stratified)."""
+    labels = q_dedup_cluster_components(spark, sf_dir)
+    bucket = md5h(F.col("cluster_id").cast("string")) % 100
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < _SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 _SAMPLE_SQL = """
     SELECT doc_id, lang
     FROM documents

@@ -278,3 +278,40 @@ def test_duplicate_spans_interval_union(spark, tmp_path):
         got = (r["n_words"], r["n_dup_grams"], r["covered_tokens"],
                r["dup_span_frac"], r["keep"])
         assert got == (nw, ng, cov, frac, keep), f"doc {d}: {got}"
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark, tmp_path):
+    """The cluster-keyed split must hold near-duplicates in ONE split even
+    when a doc-keyed hash split would separate them (the eval-leakage
+    trap), and every cluster maps to exactly one split value."""
+    import hashlib
+
+    from crawler_spark.queries_graph import q_leakage_safe_split
+
+    def doc_bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+
+    # a duplicate pair whose DOC-keyed buckets straddle the 10% val cutoff:
+    # a doc-hash split would put `lo` in val and `hi` in train
+    lo = next(i for i in range(1000) if doc_bucket(i) < 10)
+    hi = next(i for i in range(1000) if doc_bucket(i) >= 10 and i != lo)
+    dup = "same eight words appear here in this row twice"
+    rows = [(lo, dup), (hi, dup)] + [
+        (5000 + j, f"bg{j}a bg{j}b bg{j}c bg{j}d bg{j}e bg{j}f bg{j}g bg{j}h")
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in q_leakage_safe_split(spark, str(tmp_path)).collect()}
+    assert len(got) == 22
+    # duplicates share a cluster AND a split
+    assert got[lo]["cluster_id"] == got[hi]["cluster_id"] == min(lo, hi)
+    assert got[lo]["split"] == got[hi]["split"]
+    # one split value per cluster, and it follows the cluster-hash rule
+    by_cluster = {}
+    for r in got.values():
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        want = "val" if doc_bucket(r["cluster_id"]) < 10 else "train"
+        assert r["split"] == want
+    assert all(len(s) == 1 for s in by_cluster.values())

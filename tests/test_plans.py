@@ -135,6 +135,7 @@ _JVM_ONLY = [
     "quality_tier_stats", "ivf_train_kmeans", "text_lm_perplexity",
     "host_depth_histogram", "frontier_pop_adaptive", "dedup_duplicate_spans",
     "robots_admission", "dsir_importance_resample", "frontier_depth_quantiles",
+    "leakage_safe_split",
 ]
 
 
