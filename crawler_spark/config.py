@@ -50,6 +50,10 @@ class CrawlConfig:
     # maintain the similarity-index sidecar (<root>/vindex) in the same
     # maintenance tick as corpus dedup
     maintain_vindex: bool = True
+    # also maintain the residual-PQ codes sidecar (pq_model trained ONCE
+    # at bootstrap, frozen; new vectors encoded per tick). Off by
+    # default: the bootstrap pays an in-engine k-means training pass
+    maintain_pq: bool = False
 
     @classmethod
     def load(cls, json_path: str | None = None, env: dict | None = None) -> "CrawlConfig":

@@ -41,6 +41,9 @@ def vindex_bucket_spec() -> dict:
         "emb_ivf": {"mode": "value", "key": "cell"},
         "doc_minhash": {"mode": "hash", "key": "doc_id", "n": 16},
         "pq_codes": {"mode": "value", "key": "cell"},
+        # frozen PQ model: ~1k rows, one bucket — never rewritten after
+        # the bootstrap commit (train once, add forever)
+        "pq_model": {"mode": "hash", "key": "dim", "n": 1},
     }
 
 
@@ -93,6 +96,29 @@ def pq_codes_rows(emb: DataFrame, cents: list, books: list) -> DataFrame:
             .cast("int").alias(f"c{s}")
             for s in range(_PQ_SUBS)
         ],
+    )
+
+
+def pq_model_rows(spark: SparkSession, cents: list, books: list) -> DataFrame:
+    """Serialize a trained PQ model as PQ_MODEL rows: 'coarse' rows are
+    the K x 64 coarse centroids (cid = cell, sub = -1), 'book' rows the
+    residual subspace codebooks with GLOBAL dim 1..64 — the exact lists
+    queries_media.parse_coarse_rows / parse_book_rows rebuild, so the
+    persisted model round-trips bit-identically."""
+    from crawler_spark.queries_media import _PQ_DIM
+
+    rows = [
+        ("coarse", -1, ci + 1, d + 1, float(v))
+        for ci, cent in enumerate(cents)
+        for d, v in enumerate(cent)
+    ] + [
+        ("book", s, cid + 1, s * _PQ_DIM + dl + 1, float(v))
+        for s, book in enumerate(books)
+        for cid, vec in enumerate(book)
+        for dl, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "part string, sub int, cid long, dim int, v double"
     )
 
 
@@ -211,6 +237,70 @@ class SimilarityIndex:
                 key="doc_id",
             )
         return st.commit({}, merge=plans)
+
+    # -- loop-maintained residual-PQ codes (frozen model) ---------------------
+
+    def ensure_pq_model(self, emb: DataFrame) -> bool:
+        """Train-once bootstrap: if no model exists, train (coarse
+        centroids, residual codebooks) from the given (vec_id, embedding)
+        frame and commit model + the full encode of those vectors in ONE
+        atomic snapshot. Returns True iff training happened now. FAISS
+        discipline: the model is FROZEN — retraining would silently
+        re-code every already-indexed row, so later ticks only encode."""
+        if "pq_model" in self.store.current_manifest()["tables"]:
+            return False
+        from crawler_spark.queries_media import train_pq_model_frame
+
+        cents, books = train_pq_model_frame(self.spark, emb)
+        self.store.commit({
+            "pq_model": pq_model_rows(self.spark, cents, books),
+            "pq_codes": pq_codes_rows(emb, cents, books),
+        })
+        self._pq_model_cache = (cents, books)
+        return True
+
+    def pq_model(self) -> tuple[list, list]:
+        """The frozen (cents, books) lists, parsed from the pq_model
+        table (memoized per instance — ~1k rounded doubles)."""
+        got = getattr(self, "_pq_model_cache", None)
+        if got is None:
+            from crawler_spark.queries_media import (
+                parse_book_rows,
+                parse_coarse_rows,
+            )
+
+            rows = self.store.read("pq_model").collect()
+            # coarse rows store the cell under the shared 'cid' column
+            got = (
+                parse_coarse_rows([
+                    {"cell": r["cid"], "dim": r["dim"], "v": r["v"]}
+                    for r in rows if r["part"] == "coarse"
+                ]),
+                parse_book_rows([r for r in rows if r["part"] == "book"]),
+            )
+            self._pq_model_cache = got
+        return got
+
+    def upsert_pq(
+        self, emb: DataFrame | None = None, delete_ids: DataFrame | None = None
+    ) -> int:
+        """Incremental pq_codes maintenance against the FROZEN model:
+        encode only the new vectors (row-local ADC encode — the codes of
+        existing rows never change), CoW-merge into their cell
+        partitions; deletes purge by vec_id. O(batch + dirty cells)."""
+        cents, books = self.pq_model()
+        dv = (
+            delete_ids.select(F.col(delete_ids.columns[0]).alias("vec_id"))
+            if delete_ids is not None
+            else None
+        )
+        plan = self.store.plan_merge(
+            "pq_codes",
+            upsert=pq_codes_rows(emb, cents, books) if emb is not None else None,
+            delete=dv,
+            key="vec_id",
+        )
+        return self.store.commit({}, merge={"pq_codes": plan})
 
     # -- probe --------------------------------------------------------------
 

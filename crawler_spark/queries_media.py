@@ -1488,15 +1488,21 @@ _PQR_SQL = """
            adc=_pq_trained_adc_sql)
 
 
-def _km_explode(spark, sf_dir):
-    """(vec_id, dim 1..64, val double) — the coarse-quantizer work table."""
-    emb = _t(spark, sf_dir, "embeddings")
+def km_explode_frame(emb):
+    """(vec_id, dim 1..64, val double) from ANY (vec_id, embedding)
+    frame — the ONE k-means work-table definition (the sf_dir registry
+    trainers and the loop's corpus-vector PQ model share it)."""
     return emb.select(
         "vec_id", F.posexplode("embedding").alias("dim0", "val0")
     ).select(
         "vec_id", (F.col("dim0") + 1).alias("dim"),
         F.col("val0").cast("double").alias("val"),
     )
+
+
+def _km_explode(spark, sf_dir):
+    """(vec_id, dim 1..64, val double) — the coarse-quantizer work table."""
+    return km_explode_frame(_t(spark, sf_dir, "embeddings"))
 
 
 def _km_assign(e, cents):
@@ -1516,13 +1522,14 @@ def _km_assign(e, cents):
     return d.withColumn("rk", rk).filter(F.col("rk") == 1).select("vec_id", "cell")
 
 
-def _km_train_centroids(spark, sf_dir):
-    """Trained coarse centroids (cell, dim, v) — the ivf_train_kmeans
-    Lloyd loop, exposed for the residual-PQ consumers."""
-    e = _km_explode(spark, sf_dir)
-    c = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KM_K)).select(
-        F.col("vec_id").alias("cell"), "dim",
-        F.round(F.col("val") + F.lit(1e-9), 6).alias("v"),
+def km_train_centroids_frame(e, seed_map):
+    """Lloyd's coarse training over ANY work table `e`; `seed_map` is a
+    (vec_id, cell 1..K) frame naming the seed vectors. The ONE training
+    loop — the sf_dir registry path seeds with vec_ids 1..K (identity
+    map), the loop's corpus-vector model with the K smallest ids — so
+    the iteration count, averaging and 6dp rounding cannot drift."""
+    c = e.join(seed_map, "vec_id").select(
+        "cell", "dim", F.round(F.col("val") + F.lit(1e-9), 6).alias("v")
     )
     for _ in range(_KM_ITERS):
         a = _km_assign(e, c)
@@ -1537,12 +1544,24 @@ def _km_train_centroids(spark, sf_dir):
     return c
 
 
-def _pqr_frames(spark, sf_dir):
-    """(kaf, re): the trained-coarse cell assignment (vec_id, cell) and
-    the residual k-means work table (vec_id, dim, sub, val) — the
-    residual twin of _pq_explode, same global-dim convention."""
+def _km_train_centroids(spark, sf_dir):
+    """Trained coarse centroids (cell, dim, v) — the ivf_train_kmeans
+    Lloyd loop, exposed for the residual-PQ consumers. Seeds = vectors
+    1.._KM_K (the registry convention; vec_ids are 1-based here)."""
     e = _km_explode(spark, sf_dir)
-    c = _km_train_centroids(spark, sf_dir)
+    seed = (
+        e.select("vec_id").distinct()
+        .filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KM_K))
+        .select("vec_id", F.col("vec_id").alias("cell"))
+    )
+    return km_train_centroids_frame(e, seed)
+
+
+def pqr_frames_from(e, c):
+    """(kaf, re) from ANY work table + trained coarse centroids frame:
+    the trained-coarse cell assignment (vec_id, cell) and the residual
+    k-means work table (vec_id, dim, sub, val) — the ONE residual
+    work-table definition (registry and loop paths share it)."""
     kaf = _km_assign(e, c)
     re = (
         e.join(kaf, "vec_id")
@@ -1556,12 +1575,22 @@ def _pqr_frames(spark, sf_dir):
     return kaf, re
 
 
-def _pqr_train_centroids(spark, sf_dir):
-    """Residual codebooks as (sub, cid, dim, v): the exact
-    _pq_train_centroids loop over the residual work table."""
-    _, e = _pqr_frames(spark, sf_dir)
-    c = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K)).select(
-        "sub", F.col("vec_id").alias("cid"), "dim",
+def _pqr_frames(spark, sf_dir):
+    """(kaf, re): the trained-coarse cell assignment (vec_id, cell) and
+    the residual k-means work table (vec_id, dim, sub, val) — the
+    residual twin of _pq_explode, same global-dim convention."""
+    e = _km_explode(spark, sf_dir)
+    c = _km_train_centroids(spark, sf_dir)
+    return pqr_frames_from(e, c)
+
+
+def pqr_train_centroids_frame(e, seed_map):
+    """Per-subspace Lloyd's over ANY residual work table `e`; `seed_map`
+    is (vec_id, cid 1..K) naming whose residual slices seed each code —
+    the ONE residual training loop (registry: vec_ids 1..K; loop model:
+    the K smallest ids)."""
+    c = e.join(seed_map, "vec_id").select(
+        "sub", "cid", "dim",
         F.round(F.col("val") + F.lit(1e-9), 6).alias("v"),
     )
     for _ in range(_PQT_ITERS):
@@ -1575,6 +1604,18 @@ def _pqr_train_centroids(spark, sf_dir):
             "sub", "cid", "dim", F.coalesce("v2", "v").alias("v")
         )
     return c
+
+
+def _pqr_train_centroids(spark, sf_dir):
+    """Residual codebooks as (sub, cid, dim, v): the exact
+    _pq_train_centroids loop over the residual work table."""
+    _, e = _pqr_frames(spark, sf_dir)
+    seed = (
+        e.select("vec_id").distinct()
+        .filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K))
+        .select("vec_id", F.col("vec_id").alias("cid"))
+    )
+    return pqr_train_centroids_frame(e, seed)
 
 
 @register("pq_train_residual_kmeans", _PQR_TRAIN_SQL)
@@ -1603,22 +1644,37 @@ def q_pq_train_residual_kmeans(spark, sf_dir):
 _PQR_TRAINED: dict[tuple[int, str], list] = {}
 
 
-def trained_residual_codebooks(spark, sf_dir) -> list:
-    key = (id(spark), sf_dir)
-    got = _PQR_TRAINED.get(key)
-    if got is not None:
-        return got
-    rows = _pqr_train_centroids(spark, sf_dir).collect()
+def parse_book_rows(rows) -> list:
+    """(sub, cid, dim, v) rows -> [sub][cid-1][dim%16] codebook lists
+    (the shape residual_dist_frame consumes)."""
     books = [
         [[0.0] * _PQ_DIM for _ in range(_PQ_K)] for _ in range(_PQ_SUBS)
     ]
     for r in rows:
         books[int(r["sub"])][int(r["cid"]) - 1][(int(r["dim"]) - 1) % _PQ_DIM] = float(r["v"])
+    return books
+
+
+def trained_residual_codebooks(spark, sf_dir) -> list:
+    key = (id(spark), sf_dir)
+    got = _PQR_TRAINED.get(key)
+    if got is not None:
+        return got
+    books = parse_book_rows(_pqr_train_centroids(spark, sf_dir).collect())
     _PQR_TRAINED[key] = books
     return books
 
 
 _KM_TRAINED: dict[tuple[int, str], list] = {}
+
+
+def parse_coarse_rows(rows) -> list:
+    """(cell, dim, v) rows -> _KM_K 64-dim centroid lists (the shape
+    coarse_cell_dists / residual_dist_frame consume)."""
+    cents = [[0.0] * (_PQ_SUBS * _PQ_DIM) for _ in range(_KM_K)]
+    for r in rows:
+        cents[int(r["cell"]) - 1][int(r["dim"]) - 1] = float(r["v"])
+    return cents
 
 
 def trained_coarse_centroids(spark, sf_dir) -> list:
@@ -1628,12 +1684,49 @@ def trained_coarse_centroids(spark, sf_dir) -> list:
     got = _KM_TRAINED.get(key)
     if got is not None:
         return got
-    rows = _km_train_centroids(spark, sf_dir).collect()
-    cents = [[0.0] * (_PQ_SUBS * _PQ_DIM) for _ in range(_KM_K)]
-    for r in rows:
-        cents[int(r["cell"]) - 1][int(r["dim"]) - 1] = float(r["v"])
+    cents = parse_coarse_rows(_km_train_centroids(spark, sf_dir).collect())
     _KM_TRAINED[key] = cents
     return cents
+
+
+def train_pq_model_frame(spark, emb) -> tuple[list, list]:
+    """Train (coarse centroids, residual codebooks) from ANY
+    (vec_id, embedding) frame — the model behind the loop-maintained
+    pq_codes sidecar. Seeds are the K SMALLEST vec_ids mapped to
+    cells/cids 1..K in id order: the registry's vec_ids-1..K convention
+    generalized to arbitrary id spaces (md5-hash ids in the crawl
+    corpus), deterministic under any partitioning. Same Lloyd loops,
+    same 6dp rounding as the oracle-checked registry trainers
+    (km_train_centroids_frame / pqr_train_centroids_frame are the ONE
+    definition). The trained coarse centroids are materialized through a
+    tiny createDataFrame before the residual stage — K x 64 rounded
+    doubles — which truncates the nested iterative lineage the registry
+    path tolerates only because its result is memoized."""
+    from pyspark.sql import Window
+
+    e = km_explode_frame(emb).persist()
+    w = Window.orderBy("vec_id")
+    seed_k = (
+        e.select("vec_id").distinct().orderBy("vec_id").limit(_KM_K)
+        .withColumn("cell", F.row_number().over(w).cast("long"))
+    )
+    cents = parse_coarse_rows(km_train_centroids_frame(e, seed_k).collect())
+    cent_rows = [
+        (ci + 1, d + 1, float(cents[ci][d]))
+        for ci in range(_KM_K)
+        for d in range(_PQ_SUBS * _PQ_DIM)
+    ]
+    cf = spark.createDataFrame(cent_rows, "cell long, dim long, v double")
+    _, re = pqr_frames_from(e, cf)
+    re = re.persist()
+    seed_r = (
+        re.select("vec_id").distinct().orderBy("vec_id").limit(_PQ_K)
+        .withColumn("cid", F.row_number().over(w).cast("long"))
+    )
+    books = parse_book_rows(pqr_train_centroids_frame(re, seed_r).collect())
+    e.unpersist()
+    re.unpersist()
+    return cents, books
 
 
 def coarse_cell_dists(cents):

@@ -13,6 +13,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -188,6 +189,19 @@ PQ_CODES = StructType([
     _f("c3", IntegerType()),
 ])
 
+# frozen PQ model for the loop-maintained pq_codes sidecar: 'coarse' rows
+# carry the K x 64 trained coarse centroids (cid = cell, sub = -1), 'book'
+# rows the residual subspace codebooks (dim is GLOBAL 1..64) — exactly what
+# queries_media.parse_coarse_rows / parse_book_rows rebuild. Train once,
+# add forever (FAISS discipline): retraining would re-code every row.
+PQ_MODEL = StructType([
+    _f("part", StringType(), False),
+    _f("sub", IntegerType(), False),
+    _f("cid", LongType(), False),
+    _f("dim", IntegerType(), False),
+    _f("v", DoubleType(), False),
+])
+
 # near-dup cluster assignment for the engine's own corpus (loop-maintained
 # sidecar of `corpus`, bucketed identically so maintenance co-locates)
 CORPUS_CLUSTERS = StructType([
@@ -234,6 +248,7 @@ TABLE_SCHEMAS: dict[str, StructType] = {
     "emb_ivf": EMB_IVF,
     "doc_minhash": DOC_MINHASH,
     "pq_codes": PQ_CODES,
+    "pq_model": PQ_MODEL,
     "corpus_clusters": CORPUS_CLUSTERS,
     "corpus_bands": CORPUS_BANDS,
 }

@@ -71,6 +71,7 @@ class CrawlScheduler:
         maintenance_every: int | None = None,
         full_dedup_every: int = 4,
         maintain_vindex: bool = True,
+        maintain_pq: bool = False,
         wap_audit: bool = False,
     ):
         self.spark = spark
@@ -136,6 +137,7 @@ class CrawlScheduler:
         # missing #1); the index lives in its own SnapshotStore sidecar
         # under <root>/vindex and is opened lazily
         self.maintain_vindex = maintain_vindex
+        self.maintain_pq = maintain_pq
         self._vindex = None
         # write-audit-publish batch commits: stage each batch on a
         # branch, audit the CHANGELOG (O(changed buckets)), publish on
@@ -702,7 +704,46 @@ class CrawlScheduler:
             )
         new_rows.unpersist()
         stale.unpersist()
-        return {"indexed_new": int(n_new), "index_removed": int(n_stale)}
+        stats = {"indexed_new": int(n_new), "index_removed": int(n_stale)}
+        if self.maintain_pq:
+            stats.update(self._pq_upkeep(corpus))
+        return stats
+
+    def _pq_upkeep(self, corpus) -> dict:
+        """Residual-PQ codes sidecar (opt-in, `maintain_pq`): first tick
+        trains the model from the corpus' vectors and encodes everything
+        (ONE atomic snapshot — ensure_pq_model); every later tick derives
+        the pq_codes delta by anti-join against its OWN vec_ids (not the
+        doc_minhash set: independent self-healing if a crash lands
+        between the two vindex commits) and encodes only the new vectors
+        against the FROZEN model. Invariant (tests/test_vindex.py): the
+        loop-maintained codes table is bit-identical to re-encoding the
+        whole live corpus against that frozen model."""
+        from crawler_spark.operators.vindex import corpus_vectors
+
+        vx = self.vindex
+        vecs = corpus_vectors(corpus).persist()
+        try:
+            if vx.ensure_pq_model(vecs):
+                return {"pq_new": int(vecs.count()), "pq_removed": 0,
+                        "pq_trained": 1}
+            have = vx.store.read("pq_codes").select("vec_id")
+            new_v = vecs.join(have, "vec_id", "left_anti").persist()
+            stale_v = have.join(
+                vecs.select("vec_id"), "vec_id", "left_anti"
+            ).persist()
+            n_new, n_stale = new_v.count(), stale_v.count()
+            if n_new or n_stale:
+                vx.upsert_pq(
+                    emb=new_v if n_new else None,
+                    delete_ids=stale_v if n_stale else None,
+                )
+            new_v.unpersist()
+            stale_v.unpersist()
+            return {"pq_new": int(n_new), "pq_removed": int(n_stale),
+                    "pq_trained": 0}
+        finally:
+            vecs.unpersist()
 
     def apply_blacklist(self, url_hashes: list[int]) -> dict:
         """Blacklist URLs mid-crawl with the reference's cascade delete

@@ -432,3 +432,43 @@ def test_pq_codes_added_lazily_without_touching_base_tables(spark):
     sid = ix.store.snapshot_id
     assert ensure_pq_codes(spark, SF_SMALL) is ix
     assert ix.store.snapshot_id == sid
+
+
+def test_loop_maintained_pq_codes_track_frozen_model(spark, tmp_path_factory):
+    """maintain_pq: the first maintenance tick trains the PQ model from
+    the corpus vectors and freezes it; every later tick only encodes new
+    vectors. Invariants: (1) the model never changes after bootstrap,
+    (2) the loop-maintained pq_codes table is bit-identical to
+    re-encoding the WHOLE live corpus against that frozen model,
+    (3) an unchanged corpus commits nothing (idempotent upkeep)."""
+    from crawler_spark.operators.vindex import corpus_vectors, pq_codes_rows
+    from crawler_spark.streaming.scheduler import CrawlScheduler
+
+    root = str(tmp_path_factory.mktemp("crawl_pq"))
+    s = CrawlScheduler(spark, root, maintenance_every=2, maintain_pq=True,
+                       **LOOP_PARAMS)
+    s.run(2)  # maintenance tick 1: trains + encodes the then-current corpus
+    vx = s.vindex
+    model1 = vx.pq_model()
+    s.run(2)  # tick 2: must only encode the delta against the frozen model
+
+    vx._pq_model_cache = None  # force a re-read from the store
+    assert vx.pq_model() == model1
+
+    corpus = s.store.read("corpus").select("image_id", "phash")
+    cents, books = model1
+    want = pq_codes_rows(corpus_vectors(corpus), cents, books)
+    cols = ["vec_id", "cell", "c0", "c1", "c2", "c3"]
+    got_rows = sorted(tuple(r) for r in vx.store.read("pq_codes").select(*cols).collect())
+    want_rows = sorted(tuple(r) for r in want.select(*cols).collect())
+    assert got_rows == want_rows and got_rows
+    # the second tick really was incremental: some rows were added after
+    # the bootstrap (the crawl grew the corpus between ticks)
+    assert len(got_rows) == corpus.count()
+
+    # idempotence: nothing new -> zero commits, zero pq work
+    sid = vx.store.snapshot_id
+    stats = s.vindex_upkeep()
+    assert stats == {"indexed_new": 0, "index_removed": 0,
+                     "pq_new": 0, "pq_removed": 0, "pq_trained": 0}
+    assert vx.store.snapshot_id == sid
