@@ -472,3 +472,31 @@ def test_loop_maintained_pq_codes_track_frozen_model(spark, tmp_path_factory):
     assert stats == {"indexed_new": 0, "index_removed": 0,
                      "pq_new": 0, "pq_removed": 0, "pq_trained": 0}
     assert vx.store.snapshot_id == sid
+
+
+def test_pq_upkeep_self_heals_after_late_enable(spark, tmp_path_factory):
+    """The pq sidecar's crash contract, via the same simulation as the
+    doc-table self-heal test: batches run with maintain_pq off (a crash
+    before the pq commit, or a deployment enabling the feature late),
+    then a reopened scheduler with maintain_pq on must converge — model
+    trained from the corpus AS OF the first pq tick, codes bit-identical
+    to encoding the whole live corpus against it."""
+    from crawler_spark.operators.vindex import corpus_vectors, pq_codes_rows
+    from crawler_spark.streaming.scheduler import CrawlScheduler
+
+    root = str(tmp_path_factory.mktemp("crawl_pq_heal"))
+    s1 = CrawlScheduler(spark, root, maintenance_every=2, maintain_pq=False,
+                        **LOOP_PARAMS)
+    s1.run(3)  # maintenance fired at batch 2 with NO pq tables — the "crash"
+
+    s2 = CrawlScheduler(spark, root, maintenance_every=2, maintain_pq=True,
+                        **LOOP_PARAMS)
+    s2.run(1)  # batch 4 -> first pq tick: trains + encodes the full corpus
+    vx = s2.vindex
+    cents, books = vx.pq_model()
+    corpus = s2.store.read("corpus").select("image_id", "phash")
+    want = pq_codes_rows(corpus_vectors(corpus), cents, books)
+    cols = ["vec_id", "cell", "c0", "c1", "c2", "c3"]
+    got_rows = sorted(tuple(r) for r in vx.store.read("pq_codes").select(*cols).collect())
+    want_rows = sorted(tuple(r) for r in want.select(*cols).collect())
+    assert got_rows == want_rows and got_rows
