@@ -135,9 +135,24 @@ class SnapshotStore:
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "branches"), exist_ok=True)
         # the spec persisted at first commit wins on reopen: resume must
-        # use the layout the store was created with
-        persisted = self.current_manifest().get("bucket_spec")
-        self.bucket_spec = persisted if persisted is not None else (bucket_spec or {})
+        # use the layout the store was created with. Specs for tables the
+        # persisted manifest has NEVER written are adopted from the
+        # caller (a new sidecar table — e.g. pq_model on a pre-existing
+        # vindex root — has no data laid out under any old spec, so
+        # adoption cannot change how existing files are read); a spec for
+        # a table the store already holds is still ignored in favor of
+        # the persisted one.
+        m = self.current_manifest()
+        persisted = m.get("bucket_spec")
+        if persisted is not None:
+            merged = dict(persisted)
+            existing = set(m.get("tables", {}))
+            for t, spec in (bucket_spec or {}).items():
+                if t not in merged and t not in existing:
+                    merged[t] = spec
+            self.bucket_spec = merged
+        else:
+            self.bucket_spec = bucket_spec or {}
 
     # -- manifest plumbing --------------------------------------------------
 

@@ -500,3 +500,35 @@ def test_pq_upkeep_self_heals_after_late_enable(spark, tmp_path_factory):
     got_rows = sorted(tuple(r) for r in vx.store.read("pq_codes").select(*cols).collect())
     want_rows = sorted(tuple(r) for r in want.select(*cols).collect())
     assert got_rows == want_rows and got_rows
+
+
+def test_new_sidecar_spec_adopted_on_existing_store(spark, tmp_path_factory):
+    """A vindex root created BEFORE the pq sidecar existed (persisted
+    bucket_spec without pq_model) must accept it on reopen: specs for
+    tables the store has never written are adopted from the caller —
+    no data exists under any old layout, so adoption cannot change how
+    existing files read — while a differing spec for an EXISTING table
+    stays ignored (persisted wins, same rule as always)."""
+    from crawler_spark.operators.vindex import SimilarityIndex, pq_model_rows
+    from crawler_spark.tables import SnapshotStore
+
+    root = str(tmp_path_factory.mktemp("vx_old"))
+    old_spec = {"doc_minhash": {"mode": "hash", "key": "doc_id", "n": 16}}
+    s1 = SnapshotStore(spark, root, bucket_spec=old_spec)
+    sig = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5, 6, 7, 8])], "doc_id long, sig array<bigint>"
+    )
+    s1.commit({"doc_minhash": sig})
+
+    ix = SimilarityIndex(spark, root)  # current spec: + pq_codes/pq_model
+    assert "pq_model" in ix.store.bucket_spec
+    assert ix.store.bucket_spec["doc_minhash"]["n"] == 16  # persisted wins
+    cents = [[0.0] * 64 for _ in range(4)]
+    books = [[[0.0] * 16 for _ in range(8)] for _ in range(4)]
+    ix.store.commit({"pq_model": pq_model_rows(spark, cents, books)})
+    assert ix.store.read("pq_model").count() == 4 * 64 + 4 * 8 * 16
+    assert ix.store.read("doc_minhash").count() == 1
+    # the adopted entry is persisted with the commit: a THIRD open with
+    # no caller spec still knows the new table's layout
+    s3 = SnapshotStore(spark, root)
+    assert "pq_model" in s3.bucket_spec
