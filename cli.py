@@ -24,6 +24,9 @@ def main(argv=None) -> None:
     p.add_argument("--k-per-host", type=int, default=None)
     p.add_argument("--tick-secs", type=int, default=None)
     p.add_argument("--no-sketch", action="store_true")
+    p.add_argument("--pq", action="store_true",
+                   help="maintain the residual-PQ codes sidecar (trains the "
+                        "frozen model on the first maintenance tick)")
     p.add_argument("--no-lineage-hash", action="store_true")
     p.add_argument("--no-discovery", action="store_true")
     p.add_argument("--no-recrawl", action="store_true")
@@ -51,6 +54,8 @@ def main(argv=None) -> None:
         cfg.quota_boost = args.quota_boost
     if args.no_sketch:
         cfg.use_sketch = False
+    if args.pq:
+        cfg.maintain_pq = True
     if args.no_lineage_hash:
         cfg.lineage_hashes = False
     if args.no_discovery:
