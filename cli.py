@@ -26,7 +26,10 @@ def main(argv=None) -> None:
     p.add_argument("--no-sketch", action="store_true")
     p.add_argument("--pq", action="store_true",
                    help="maintain the residual-PQ codes sidecar (trains the "
-                        "frozen model on the first maintenance tick)")
+                        "frozen model on the first maintenance tick; implies "
+                        "a maintenance cadence of every 4 batches if none is "
+                        "configured — sidecar upkeep only runs on maintenance "
+                        "ticks)")
     p.add_argument("--no-lineage-hash", action="store_true")
     p.add_argument("--no-discovery", action="store_true")
     p.add_argument("--no-recrawl", action="store_true")
@@ -56,6 +59,10 @@ def main(argv=None) -> None:
         cfg.use_sketch = False
     if args.pq:
         cfg.maintain_pq = True
+        # sidecar upkeep only runs on maintenance ticks; --pq with no
+        # cadence configured would be a silent no-op
+        if not cfg.maintenance_every:
+            cfg.maintenance_every = 4
     if args.no_lineage_hash:
         cfg.lineage_hashes = False
     if args.no_discovery:
