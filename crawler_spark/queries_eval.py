@@ -893,3 +893,84 @@ def q_pq_recall_report(spark, sf_dir):
         raw.unionByName(res).unionByName(mp)
         .unionByName(g1).unionByName(g2)
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ distortion report: permuted vs contiguous residual subspaces
+# ---------------------------------------------------------------------------
+# The measure-don't-guess A/B for the OPQ-P dimension permutation
+# (opq_dim_permutation): train residual codebooks over the SAME residual
+# work table twice — once with the contiguous floor((dim-1)/16) slicing
+# (the pq_residual scheme pq_distortion_report already prices) and once
+# with the balanced-variance snake permutation — and report each
+# scheme's corpus reconstruction error under the identical 4x8 code
+# budget. If the per-dim variances are skewed, the permuted codebooks
+# should spend their codewords where the energy is and post a lower
+# avg_err; if the corpus is isotropic the two rows tie, which is itself
+# the honest answer (OPQ's win is data-dependent — Ge et al. 2013 §5).
+#
+# Scale shape identical to pq_distortion_report (two trainer chains +
+# one per-vector sum); the permutation adds one 64-row broadcast join.
+
+from crawler_spark.queries_media import (
+    _OPQ_PERM_CTES,
+    _PQ_K,
+    _pqt_iter_sql,
+    opq_perm_frame,
+    opq_work_table,
+    pqr_train_centroids_frame,
+)
+
+_OPQ_TRAIN_CTES = """
+    {perm},
+    reo AS (
+      SELECT r.vec_id, r.dim, p.sub, r.val
+      FROM re r JOIN perm p USING (dim)
+    ),
+    pc0 AS (
+      SELECT sub, vec_id AS cid, dim, round(1e-9 + val, 6) AS v
+      FROM reo WHERE vec_id BETWEEN 1 AND {k}
+    ),
+    {iters}
+""".format(
+    perm=_OPQ_PERM_CTES.strip(), k=_PQ_K,
+    iters=",".join(
+        _pqt_iter_sql(i, tbl="reo") for i in range(1, _PQT_ITERS + 1)
+    ).lstrip(",\n "),
+)
+
+_OPQ_DISTORTION_SQL = "{res}\n    UNION ALL\n{opq}".format(
+    res=_pq_dist_block("pq_residual", _PQR_TRAIN_CTES, tbl="re"),
+    opq=_pq_dist_block("pq_opq", _OPQ_TRAIN_CTES, tbl="reo"),
+)
+
+
+@register("opq_distortion_report", _OPQ_DISTORTION_SQL)
+def q_opq_distortion_report(spark, sf_dir):
+    """Reconstruction error of contiguous-sliced vs OPQ-permuted
+    residual codebooks, one row per scheme — the A/B that justifies (or
+    rejects) adopting the permutation for the serving index."""
+    def per_scheme(scheme, e, cents):
+        td = (
+            _sub_min_d(e, cents)
+            .groupBy("vec_id")
+            .agg(F.round(F.sum("d") + F.lit(1e-9), 6).alias("td"))
+        )
+        return td.agg(
+            F.lit(scheme).alias("scheme"),
+            F.round(F.avg("td") + F.lit(1e-9), 4).alias("avg_err"),
+            F.max("td").alias("max_err"),
+        )
+
+    _, e_res = _pqr_frames(spark, sf_dir)
+    c_res = _pqr_train_centroids(spark, sf_dir)
+    e_opq = opq_work_table(e_res, opq_perm_frame(e_res))
+    seed = (
+        e_opq.select("vec_id").distinct()
+        .filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K))
+        .select("vec_id", F.col("vec_id").alias("cid"))
+    )
+    c_opq = pqr_train_centroids_frame(e_opq, seed)
+    return per_scheme("pq_residual", e_res, c_res).unionByName(
+        per_scheme("pq_opq", e_opq, c_opq)
+    )

@@ -1833,3 +1833,106 @@ def q_knn_ivfpq_residual_topk(spark, sf_dir):
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ-style dimension permutation (round-5 candidate 1)
+# ---------------------------------------------------------------------------
+# Optimized Product Quantization (Ge et al., CVPR 2013) rotates the
+# space before sub-slicing so each subspace carries comparable variance;
+# the parametric/greedy OPQ-P variant permutes DIMENSIONS instead of
+# applying a dense rotation — exactly the SQL-expressible form: rank the
+# residual dimensions by variance and deal them to the subspaces in
+# snake order (0,1,2,3,3,2,1,0,...), balancing the per-subspace variance
+# budget so no codebook wastes its 8 codewords on low-energy dims while
+# another saturates. Everything downstream (Lloyd training, assignment,
+# ADC) is unchanged — codebooks stay keyed on GLOBAL dim, only the
+# dim -> sub membership moves, so pqr_train_centroids_frame and
+# _sub_min_d consume the permuted work table as-is.
+#
+# Scale shape: the variance pass is one map-side-combinable groupBy over
+# the residual work table collapsing to exactly 64 rows; the rank window
+# is global but runs over those 64 rows, not the corpus. Lockstep:
+# variance computed as (s2 - s1*s1/n)/n in BOTH engines, rounded to 6dp
+# (+1e-9) before the rank; rank tiebreak is dim ASC; the snake indexing
+# is pure integer arithmetic.
+
+_OPQ_PERM_CTES = """
+    {coarse},
+    vstat AS (
+      SELECT dim,
+             round(1e-9 + (sum(val * val) - sum(val) * sum(val) / count(*))
+                          / count(*), 6) AS dim_var
+      FROM re GROUP BY dim
+    ),
+    vrank AS (
+      SELECT dim, dim_var,
+             row_number() OVER (ORDER BY dim_var DESC, dim ASC) AS rk
+      FROM vstat
+    ),
+    perm AS (
+      SELECT dim, dim_var, rk,
+             CASE WHEN ((rk - 1) // {subs}) % 2 = 0
+                  THEN (rk - 1) % {subs}
+                  ELSE {subs} - 1 - ((rk - 1) % {subs}) END AS sub
+      FROM vrank
+    )
+""".format(coarse=_PQR_COARSE_CTES.strip(), subs=_PQ_SUBS)
+
+_OPQ_PERM_SQL = """
+    WITH {ctes}
+    SELECT dim, dim_var, rk, sub FROM perm
+""".format(ctes=_OPQ_PERM_CTES.strip())
+
+
+def opq_perm_frame(re):
+    """(dim, dim_var, rk, sub) from ANY residual work table: the
+    balanced-variance snake assignment of dimensions to subspaces. The
+    ONE permutation definition — the registry query, the OPQ trainer and
+    the distortion report all read subspace membership from here."""
+    from pyspark.sql import Window
+
+    stats = re.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("s1"),
+        F.sum(F.col("val") * F.col("val")).alias("s2"),
+    )
+    var6 = F.round(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+        + F.lit(1e-9), 6)
+    ranked = stats.select("dim", var6.alias("dim_var")).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("dim_var").desc(), F.col("dim").asc())
+        ).cast("long"),
+    )
+    r0 = F.col("rk") - F.lit(1)
+    rnd = F.floor(r0 / F.lit(_PQ_SUBS)).cast("long")
+    pos = F.pmod(r0, F.lit(_PQ_SUBS)).cast("long")
+    sub = F.when(F.pmod(rnd, F.lit(2)) == 0, pos).otherwise(
+        F.lit(_PQ_SUBS - 1) - pos
+    )
+    return ranked.select("dim", "dim_var", "rk", sub.cast("long").alias("sub"))
+
+
+def opq_work_table(re, perm):
+    """The residual work table re-subspaced by the OPQ permutation:
+    (vec_id, dim, sub, val) with sub read from `perm` instead of the
+    contiguous floor((dim-1)/16) slicing. One broadcast-size join (64
+    rows) — no new shuffle over the corpus."""
+    return re.drop("sub").join(
+        F.broadcast(perm.select("dim", "sub")), "dim"
+    ).select("vec_id", "dim", "sub", "val")
+
+
+@register("opq_dim_permutation", _OPQ_PERM_SQL)
+def q_opq_dim_permutation(spark, sf_dir):
+    """The trained OPQ-P dimension permutation: per-dim residual
+    variance, its rank, and the snake-assigned subspace. OPQ reference:
+    Ge et al. 2013 (parametric dimension allocation); the reference
+    engine has no ANN layer — this extends the training-data-pipeline
+    axis like the other PQ queries."""
+    _, re = _pqr_frames(spark, sf_dir)
+    return opq_perm_frame(re).select(
+        F.col("dim").cast("long").alias("dim"), "dim_var", "rk", "sub"
+    )
