@@ -30,6 +30,10 @@ def main(argv=None) -> None:
                         "a maintenance cadence of every 4 batches if none is "
                         "configured — sidecar upkeep only runs on maintenance "
                         "ticks)")
+    p.add_argument("--dsir", action="store_true",
+                   help="maintain the DSIR data-selection sidecar (tokenize-"
+                        "once feature table + folded count distributions; "
+                        "same maintenance-cadence default as --pq)")
     p.add_argument("--no-lineage-hash", action="store_true")
     p.add_argument("--no-discovery", action="store_true")
     p.add_argument("--no-recrawl", action="store_true")
@@ -61,6 +65,10 @@ def main(argv=None) -> None:
         cfg.maintain_pq = True
         # sidecar upkeep only runs on maintenance ticks; --pq with no
         # cadence configured would be a silent no-op
+        if not cfg.maintenance_every:
+            cfg.maintenance_every = 4
+    if args.dsir:
+        cfg.maintain_dsir = True
         if not cfg.maintenance_every:
             cfg.maintenance_every = 4
     if args.no_lineage_hash:

@@ -54,6 +54,9 @@ class CrawlConfig:
     # at bootstrap, frozen; new vectors encoded per tick). Off by
     # default: the bootstrap pays an in-engine k-means training pass
     maintain_pq: bool = False
+    # also maintain the DSIR data-selection sidecar (tokenize-once feats
+    # table + folded count distributions; operators/dsir.py)
+    maintain_dsir: bool = False
 
     @classmethod
     def load(cls, json_path: str | None = None, env: dict | None = None) -> "CrawlConfig":

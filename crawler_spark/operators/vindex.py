@@ -44,6 +44,11 @@ def vindex_bucket_spec() -> dict:
         # frozen PQ model: ~1k rows, one bucket — never rewritten after
         # the bootstrap commit (train once, add forever)
         "pq_model": {"mode": "hash", "key": "dim", "n": 1},
+        # DSIR sidecar (opt-in, maintain_dsir): tokenize-once feature
+        # table doc-bucketed for pruned deletes; the <=4096-row count
+        # distributions live in one bucket, rewritten whole each fold
+        "dsir_feats": {"mode": "hash", "key": "doc_id", "n": 16},
+        "dsir_counts": {"mode": "hash", "key": "f", "n": 1},
     }
 
 

@@ -202,6 +202,24 @@ PQ_MODEL = StructType([
     _f("v", DoubleType(), False),
 ])
 
+# DSIR data-selection sidecar (loop-maintained, Xie et al. 2023): per-doc
+# hashed uni+bigram feature multiplicities — tokenize once, score forever.
+# Hash-bucketed by doc_id so cascade deletes CoW-prune to their buckets.
+DSIR_FEATS = StructType([
+    _f("doc_id", LongType(), False),
+    _f("f", LongType(), False),
+    _f("cnt", LongType(), False),
+])
+
+# the two DSIR feature distributions (raw corpus / target domain),
+# <= 4096 rows — folded by exact integer deltas each maintenance tick in
+# the SAME atomic commit as the feats merge
+DSIR_COUNTS = StructType([
+    _f("f", LongType(), False),
+    _f("c_r", LongType(), False),
+    _f("c_t", LongType(), False),
+])
+
 # near-dup cluster assignment for the engine's own corpus (loop-maintained
 # sidecar of `corpus`, bucketed identically so maintenance co-locates)
 CORPUS_CLUSTERS = StructType([
@@ -249,6 +267,8 @@ TABLE_SCHEMAS: dict[str, StructType] = {
     "doc_minhash": DOC_MINHASH,
     "pq_codes": PQ_CODES,
     "pq_model": PQ_MODEL,
+    "dsir_feats": DSIR_FEATS,
+    "dsir_counts": DSIR_COUNTS,
     "corpus_clusters": CORPUS_CLUSTERS,
     "corpus_bands": CORPUS_BANDS,
 }

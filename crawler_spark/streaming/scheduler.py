@@ -72,6 +72,7 @@ class CrawlScheduler:
         full_dedup_every: int = 4,
         maintain_vindex: bool = True,
         maintain_pq: bool = False,
+        maintain_dsir: bool = False,
         wap_audit: bool = False,
     ):
         self.spark = spark
@@ -138,6 +139,10 @@ class CrawlScheduler:
         # under <root>/vindex and is opened lazily
         self.maintain_vindex = maintain_vindex
         self.maintain_pq = maintain_pq
+        # opt-in DSIR sidecar: tokenize-once feature table + folded
+        # count distributions in the vindex store (operators/dsir.py) —
+        # importance weights then update O(batch), never re-parsing text
+        self.maintain_dsir = maintain_dsir
         self._vindex = None
         # write-audit-publish batch commits: stage each batch on a
         # branch, audit the CHANGELOG (O(changed buckets)), publish on
@@ -707,6 +712,8 @@ class CrawlScheduler:
         stats = {"indexed_new": int(n_new), "index_removed": int(n_stale)}
         if self.maintain_pq:
             stats.update(self._pq_upkeep(corpus))
+        if self.maintain_dsir:
+            stats.update(self._dsir_upkeep(corpus))
         return stats
 
     def _pq_upkeep(self, corpus) -> dict:
@@ -744,6 +751,77 @@ class CrawlScheduler:
                     "pq_trained": 0}
         finally:
             vecs.unpersist()
+
+    def _dsir_upkeep(self, corpus) -> dict:
+        """DSIR sidecar (opt-in, `maintain_dsir`): persist per-doc hashed
+        n-gram feature multiplicities (tokenize once) plus the two
+        <=4096-row feature distributions, folded by exact integer deltas
+        — importance weights then update O(batch) without re-parsing a
+        single already-seen caption. Feats merge + counts fold land in
+        ONE atomic sidecar commit, so the two tables can never disagree;
+        membership derives from the corpus by anti-join against the
+        sidecar's OWN doc_ids (independent self-healing, same contract
+        as _pq_upkeep). Invariants pinned in tests/test_dsir.py."""
+        from crawler_spark.operators import dsir
+        from crawler_spark.operators.vindex import corpus_minhash_docs
+
+        st = self.vindex.store
+        docs = corpus_minhash_docs(corpus)
+        if "dsir_feats" not in st.current_manifest()["tables"]:
+            feats = dsir.dsir_feat_rows(docs).persist()
+            st.commit({
+                "dsir_feats": feats,
+                "dsir_counts": dsir.dsir_count_rows(feats),
+            })
+            n = int(feats.select("doc_id").distinct().count())
+            feats.unpersist()
+            return {"dsir_new": n, "dsir_removed": 0}
+        have = st.read("dsir_feats").select("doc_id").distinct()
+        new_docs = docs.join(have, "doc_id", "left_anti").persist()
+        stale_ids = have.join(
+            docs.select("doc_id"), "doc_id", "left_anti"
+        ).persist()
+        n_new, n_stale = new_docs.count(), stale_ids.count()
+        if not (n_new or n_stale):
+            new_docs.unpersist()
+            stale_ids.unpersist()
+            return {"dsir_new": 0, "dsir_removed": 0}
+        new_feats = dsir.dsir_feat_rows(new_docs).persist()
+        # the victims' exact contribution, read bucket-pruned (feats is
+        # hash-bucketed on doc_id — only the stale ids' buckets open)
+        stale_feats = st.read_buckets(
+            "dsir_feats", st.bucket_labels("dsir_feats", stale_ids)
+        ).join(stale_ids, "doc_id", "semi") if n_stale else None
+        counts = dsir.fold_counts(
+            st.read("dsir_counts"),
+            dsir.dsir_count_rows(new_feats),
+            dsir.dsir_count_rows(stale_feats)
+            if stale_feats is not None
+            else st.read("dsir_counts").limit(0),
+        )
+        plan = st.plan_merge(
+            "dsir_feats",
+            upsert=new_feats if n_new else None,
+            delete=stale_ids if n_stale else None,
+            key=["doc_id", "f"],
+            delete_key="doc_id",
+        )
+        st.commit({"dsir_counts": counts}, merge={"dsir_feats": plan})
+        new_feats.unpersist()
+        new_docs.unpersist()
+        stale_ids.unpersist()
+        return {"dsir_new": int(n_new), "dsir_removed": int(n_stale)}
+
+    def dsir_weights(self):
+        """The corpus' DSIR importance weights from the persisted
+        sidecar state: (doc_id, is_target, n_feats, log_w). A <=B-row
+        broadcast + one doc agg — no text parsing, no corpus shuffle."""
+        from crawler_spark.operators import dsir
+
+        st = self.vindex.store
+        return dsir.dsir_weights(
+            st.read("dsir_feats"), st.read("dsir_counts")
+        )
 
     def apply_blacklist(self, url_hashes: list[int]) -> dict:
         """Blacklist URLs mid-crawl with the reference's cascade delete
