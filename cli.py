@@ -30,6 +30,11 @@ def main(argv=None) -> None:
                         "a maintenance cadence of every 4 batches if none is "
                         "configured — sidecar upkeep only runs on maintenance "
                         "ticks)")
+    p.add_argument("--rebalance-pq", action="store_true",
+                   help="after the batches: retrain the PQ model on the "
+                        "grown corpus and CoW re-encode (offline drift "
+                        "corrector for the frozen per-tick model; implies "
+                        "--pq)")
     p.add_argument("--dsir", action="store_true",
                    help="maintain the DSIR data-selection sidecar (tokenize-"
                         "once feature table + folded count distributions; "
@@ -61,6 +66,10 @@ def main(argv=None) -> None:
         cfg.quota_boost = args.quota_boost
     if args.no_sketch:
         cfg.use_sketch = False
+    if args.rebalance_pq:
+        cfg.maintain_pq = True
+        if not cfg.maintenance_every:
+            cfg.maintenance_every = 4
     if args.pq:
         cfg.maintain_pq = True
         # sidecar upkeep only runs on maintenance ticks; --pq with no
@@ -86,6 +95,8 @@ def main(argv=None) -> None:
     for _ in range(args.batches):
         stats = sched.run_batch()
         print(json.dumps(stats), flush=True)
+    if args.rebalance_pq:
+        print(json.dumps(sched.rebalance_pq()), flush=True)
     secs = time.perf_counter() - t0
     print(json.dumps({"total_secs": round(secs, 3),
                       "snapshot_id": sched.store.snapshot_id}), flush=True)

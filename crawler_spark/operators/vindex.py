@@ -307,6 +307,127 @@ class SimilarityIndex:
         )
         return self.store.commit({}, merge={"pq_codes": plan})
 
+    # -- offline IVF/PQ rebalance (explicit maintenance job) -----------------
+
+    def apply_pq_codes(
+        self, new_codes: DataFrame, model_rows: DataFrame | None = None
+    ) -> dict:
+        """CoW-apply a full re-encode: diff the candidate codes against
+        the current table and rewrite ONLY the cells that changed. A
+        vector whose (cell, c0..c3) row is bit-identical under the new
+        model costs nothing; a moved vector dirties its old AND new cell
+        (the delete frame carries the old cell, so plan_merge derives
+        both from values, never a full pass); untouched cells carry
+        forward by reference — which is exactly what lets store.diff
+        prune the post-rebalance changelog to the changed cells.
+        Codes merge + model rewrite land in ONE atomic snapshot."""
+        st = self.store
+        cols = ["vec_id", "cell", "c0", "c1", "c2", "c3"]
+        new_codes = new_codes.select(*cols).persist()
+        old = st.read("pq_codes").select(*cols)
+        j = new_codes.alias("n").join(
+            old.select("vec_id", F.col("cell").alias("old_cell"),
+                       *[F.col(c).alias(f"o{c}") for c in cols[2:]]),
+            "vec_id", "left",
+        )
+        same = (
+            (F.col("cell") == F.col("old_cell"))
+            & (F.col("c0") == F.col("oc0")) & (F.col("c1") == F.col("oc1"))
+            & (F.col("c2") == F.col("oc2")) & (F.col("c3") == F.col("oc3"))
+        )
+        changed = j.filter(~F.coalesce(same, F.lit(False))).persist()
+        moved = (
+            changed.filter(
+                F.col("old_cell").isNotNull()
+                & (F.col("cell") != F.col("old_cell"))
+            )
+            .select("vec_id", F.col("old_cell").alias("cell"))
+            .persist()
+        )
+        n_changed, n_moved = changed.count(), moved.count()
+        if n_changed == 0 and model_rows is None:
+            for df in (new_codes, changed, moved):
+                df.unpersist()
+            return {"pq_codes_changed": 0, "pq_cells_moved": 0}
+        plan = st.plan_merge(
+            "pq_codes",
+            upsert=changed.select(*cols) if n_changed else None,
+            # the delete matches nothing post-upsert (the row was already
+            # replaced); its job is marking the OLD cells dirty so the
+            # moved-out rows' buckets rewrite without them
+            delete=moved if n_moved else None,
+            key="vec_id",
+            delete_key=["vec_id", "cell"],
+        )
+        st.commit(
+            {"pq_model": model_rows} if model_rows is not None else {},
+            merge={"pq_codes": plan},
+        )
+        for df in (new_codes, changed, moved):
+            df.unpersist()
+        return {"pq_codes_changed": int(n_changed),
+                "pq_cells_moved": int(n_moved)}
+
+    def rebalance_pq(self, emb: DataFrame) -> dict:
+        """Offline IVF/PQ REBALANCE (round-4 candidate 2): retrain the
+        coarse quantizer + residual codebooks on the CURRENT vectors and
+        re-encode, atomically. The frozen-model discipline
+        (ensure_pq_model) is what keeps per-tick upkeep O(batch); its
+        price is drift — a quantizer trained at bootstrap mis-centers
+        cells as the corpus grows. This is the explicit corrector
+        (FAISS: retrain + rebuild invlists): O(table) retrain compute BY
+        DESIGN, run as a scheduled maintenance job, but the commit I/O
+        is still CoW — only cells whose codes changed rewrite
+        (apply_pq_codes). Deterministic training makes it idempotent:
+        same corpus -> same model -> zero-commit no-op. Returns per-cell
+        load balance before/after (the ivf_balance_report gauge) plus
+        the changed/moved counts a downstream CDC consumer would see."""
+        from crawler_spark.queries_media import train_pq_model_frame
+
+        st = self.store
+        if "pq_model" not in st.current_manifest()["tables"]:
+            self.ensure_pq_model(emb)
+            n = int(st.read("pq_codes").count())
+            return {"pq_rebalanced": 1, "pq_trained": 1,
+                    "pq_codes_changed": n, "pq_cells_moved": 0,
+                    "balance_after": self._cell_balance()}
+        cents, books = train_pq_model_frame(self.spark, emb)
+        if (cents, books) == self.pq_model():
+            return {"pq_rebalanced": 0, "pq_codes_changed": 0,
+                    "pq_cells_moved": 0,
+                    "balance_after": self._cell_balance()}
+        before = self._cell_balance()
+        stats = self.apply_pq_codes(
+            pq_codes_rows(emb, cents, books),
+            model_rows=pq_model_rows(self.spark, cents, books),
+        )
+        self._pq_model_cache = (cents, books)
+        return {"pq_rebalanced": 1, "pq_trained": 0, **stats,
+                "balance_before": before,
+                "balance_after": self._cell_balance()}
+
+    def _cell_balance(self) -> dict:
+        """Per-cell load of pq_codes: cell count and max load relative
+        to the mean cell (the ivf_balance_report skew gauge, collapsed
+        to one row — a groupBy over the codes table, K rows out)."""
+        row = (
+            self.store.read("pq_codes")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.max("n").alias("max_n"),
+                F.avg("n").alias("avg_n"),
+            )
+            .collect()[0]
+        )
+        if not row["n_cells"]:
+            return {"n_cells": 0, "max_load_ratio": 0.0}
+        return {
+            "n_cells": int(row["n_cells"]),
+            "max_load_ratio": round(row["max_n"] / row["avg_n"], 4),
+        }
+
     # -- probe --------------------------------------------------------------
 
     def lsh_partition(self, bucket: int) -> DataFrame:

@@ -812,6 +812,18 @@ class CrawlScheduler:
         stale_ids.unpersist()
         return {"dsir_new": int(n_new), "dsir_removed": int(n_stale)}
 
+    def rebalance_pq(self) -> dict:
+        """Explicit offline maintenance job (never part of run_batch):
+        retrain the PQ model on the corpus as it stands and CoW
+        re-encode (vindex.rebalance_pq) — the drift corrector for the
+        frozen-model per-tick upkeep. Run it like compaction: rarely,
+        off the hot path, when the balance report says the bootstrap
+        quantizer no longer fits the grown corpus."""
+        from crawler_spark.operators.vindex import corpus_vectors
+
+        corpus = self.store.read("corpus").select("image_id", "phash")
+        return self.vindex.rebalance_pq(corpus_vectors(corpus))
+
     def dsir_weights(self):
         """The corpus' DSIR importance weights from the persisted
         sidecar state: (doc_id, is_target, n_feats, log_w). A <=B-row

@@ -532,3 +532,96 @@ def test_new_sidecar_spec_adopted_on_existing_store(spark, tmp_path_factory):
     # no caller spec still knows the new table's layout
     s3 = SnapshotStore(spark, root)
     assert "pq_model" in s3.bucket_spec
+
+
+# ---------------------------------------------------------------------------
+# Offline IVF/PQ rebalance: the drift corrector for the frozen model
+# ---------------------------------------------------------------------------
+
+
+def test_rebalance_retrains_and_reencodes_atomically(spark, tmp_path_factory):
+    """rebalance_pq on a grown corpus: the model becomes the one trained
+    on the CURRENT vectors, the codes table is bit-identical to a full
+    re-encode under it, model + codes land in one snapshot, and a second
+    rebalance on the unchanged corpus is a zero-commit no-op
+    (deterministic training)."""
+    from crawler_spark.operators.vindex import corpus_vectors, pq_codes_rows
+    from crawler_spark.queries_media import train_pq_model_frame
+    from crawler_spark.streaming.scheduler import CrawlScheduler
+
+    root = str(tmp_path_factory.mktemp("crawl_pq_rebal"))
+    s = CrawlScheduler(spark, root, maintenance_every=2, maintain_pq=True,
+                       **LOOP_PARAMS)
+    s.run(4)  # model frozen at tick 1 (batch 2); corpus grows through 4
+    vx = s.vindex
+    stale_model = vx.pq_model()
+    sid0 = vx.store.snapshot_id
+    stats = s.rebalance_pq()
+    assert stats["pq_rebalanced"] == 1 and stats["pq_codes_changed"] > 0
+    assert vx.store.snapshot_id == sid0 + 1  # ONE atomic snapshot
+    assert {"balance_before", "balance_after"} <= set(stats)
+
+    corpus = s.store.read("corpus").select("image_id", "phash")
+    vecs = corpus_vectors(corpus)
+    cents, books = train_pq_model_frame(spark, vecs)
+    assert (cents, books) != stale_model, "corpus growth did not move the model"
+    fresh = SimilarityIndex(spark, f"{root}/vindex")  # re-parse from disk
+    assert fresh.pq_model() == (cents, books)
+    cols = ["vec_id", "cell", "c0", "c1", "c2", "c3"]
+    got = sorted(tuple(r) for r in vx.store.read("pq_codes").select(*cols).collect())
+    want = sorted(
+        tuple(r) for r in pq_codes_rows(vecs, cents, books).select(*cols).collect()
+    )
+    assert got == want and got
+
+    sid1 = vx.store.snapshot_id
+    again = s.rebalance_pq()
+    assert again["pq_rebalanced"] == 0 and again["pq_codes_changed"] == 0
+    assert vx.store.snapshot_id == sid1
+
+
+def test_apply_pq_codes_rewrites_only_changed_cells(spark, tmp_path_factory):
+    """The CoW mechanics, isolated from training: flipping one row's
+    cell and one row's code must dirty exactly {old cell, new cell,
+    edited cell}; every other cell carries forward by reference, and the
+    CDC diff between the two snapshots holds exactly the edited rows."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.vindex import SimilarityIndex
+
+    ix = SimilarityIndex(spark, str(tmp_path_factory.mktemp("vx_rebal_cow")))
+    emb = _emb(spark)
+    assert ix.ensure_pq_model(emb)
+    st = ix.store
+    cols = ["vec_id", "cell", "c0", "c1", "c2", "c3"]
+    cur = st.read("pq_codes").select(*cols)
+    cells = sorted(r["cell"] for r in cur.select("cell").distinct().collect())
+    assert len(cells) >= 3, "fixture needs >= 3 populated cells"
+    # row A: move from cells[0] to cells[1]; row B: edit c0 in cells[0]
+    a, b = [r["vec_id"] for r in cur.filter(F.col("cell") == cells[0])
+            .orderBy("vec_id").limit(2).collect()]
+    new_codes = cur.withColumn(
+        "cell",
+        F.when(F.col("vec_id") == a, F.lit(cells[1])).otherwise(F.col("cell")),
+    ).withColumn(
+        "c0",
+        F.when(F.col("vec_id") == b, (F.col("c0") % 8) + 1).otherwise(F.col("c0")),
+    )
+    before = dict(st.current_manifest()["tables"]["pq_codes"]["buckets"])
+    sid0 = st.snapshot_id
+    stats = ix.apply_pq_codes(new_codes)
+    assert stats == {"pq_codes_changed": 2, "pq_cells_moved": 1}
+    after = dict(st.current_manifest()["tables"]["pq_codes"]["buckets"])
+    dirty = {str(cells[0]), str(cells[1])}
+    for lbl in before:
+        if lbl in dirty:
+            assert after[lbl] != before[lbl], f"dirty cell {lbl} not rewritten"
+        else:
+            assert after[lbl] == before[lbl], f"clean cell {lbl} was rewritten"
+    got = sorted(tuple(r) for r in st.read("pq_codes").select(*cols).collect())
+    want = sorted(tuple(r) for r in new_codes.collect())
+    assert got == want
+    # the changelog a downstream consumer reads: exactly rows A and B
+    ch = st.diff("pq_codes", "vec_id", sid0, st.snapshot_id)
+    touched = {r["vec_id"] for r in ch.select("vec_id").distinct().collect()}
+    assert touched == {a, b}
