@@ -251,13 +251,25 @@ def to_metrics(fetched: DataFrame, as_of_ts) -> DataFrame:
     ).select(*[f.name for f in METRICS_DAILY.fields])
 
 
-def discover_candidates(fetched: DataFrame, universe: int = 10_000) -> DataFrame:
+def discover_candidates(
+    fetched: DataFrame, universe: int = 10_000, extra: DataFrame | None = None
+) -> DataFrame:
     """Explode outlinks into canonical, hashed candidates with snippet
     text for admission (S10-shaped explode; min depth per URL when many
-    parents discover the same target in one batch)."""
+    parents discover the same target in one batch). `extra` merges
+    additional (raw_url, depth) sources — robots Sitemap directives —
+    into the stream before canonicalization, so the min-depth agg and
+    every admission gate treat them as one population."""
+    links = fetched.filter(F.col("status") == 200).select(
+        F.explode("outlinks").alias("raw_url"),
+        (F.col("depth") + 1).alias("depth"),
+    )
+    if extra is not None:
+        links = links.unionByName(
+            extra.select("raw_url", F.col("depth").cast(dict(links.dtypes)["depth"]))
+        )
     raw = (
-        fetched.filter(F.col("status") == 200)
-        .select(F.explode("outlinks").alias("raw_url"), (F.col("depth") + 1).alias("depth"))
+        links
         .withColumn("url", canonical_url_udf("raw_url"))
         .groupBy("url")
         .agg(F.min("depth").alias("depth"))

@@ -44,6 +44,26 @@ def remaining_budget(politeness: DataFrame, as_of_ts, tick_secs: int | None = No
     return politeness.select("host_hash", quota_left.cast("int").alias("budget"))
 
 
+def apply_crawl_delay(politeness: DataFrame, robots: DataFrame) -> DataFrame:
+    """Fold the robots Crawl-delay directive into the ledger view used
+    at pop time: the effective inter-request delay per host is the
+    STRICTER of the ledger's min_delay_ms and the host's directive.
+    Read-side only — the politeness TABLE keeps its own min_delay_ms,
+    so a changed robots fetch takes effect on the next pop without a
+    ledger rewrite. Broadcast join (robots is per-host)."""
+    cd = robots.select("host_hash", "crawl_delay_ms")
+    return (
+        politeness.join(F.broadcast(cd), "host_hash", "left")
+        .withColumn(
+            "min_delay_ms",
+            F.greatest(
+                "min_delay_ms", F.coalesce("crawl_delay_ms", F.lit(0))
+            ).cast("int"),
+        )
+        .drop("crawl_delay_ms")
+    )
+
+
 def charge(politeness: DataFrame, fetch_counts: DataFrame, as_of_ts) -> DataFrame:
     """MERGE the batch's per-host fetch counts into the token table with
     inc-or-reset semantics (ref apikeys_repo.rs:46-59; kernel parity:

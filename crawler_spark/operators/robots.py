@@ -49,3 +49,21 @@ def filter_allowed(candidates: DataFrame, robots: DataFrame) -> DataFrame:
         .select("url_hash")
     )
     return candidates.join(verdict, "url_hash", "left_semi")
+
+
+def sitemap_urls_for_hosts(popped: DataFrame, robots: DataFrame) -> DataFrame:
+    """Sitemap directives as a discovery source: the batch's popped
+    hosts surface their robots Sitemap URLs as depth-1 candidates
+    (raw_url, depth) — merged into the outlink stream BEFORE
+    canonicalization and the min-depth-per-URL agg, so a URL reachable
+    both ways keeps one candidate row. The seen negative/positive cache
+    makes the injection once-only; re-popping a host re-offers its
+    sitemap, which the seen anti-join drops for free. Semi-join against
+    the (tiny, distinct) popped host set keeps this a broadcast probe
+    of the per-host robots dim."""
+    hosts = popped.select("host_hash").distinct()
+    return (
+        robots.join(F.broadcast(hosts), "host_hash", "left_semi")
+        .select(F.explode("sitemap_urls").alias("raw_url"))
+        .withColumn("depth", F.lit(1).cast("int"))
+    )

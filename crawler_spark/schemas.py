@@ -90,6 +90,13 @@ ROBOTS = StructType([
         _f("path_prefix", StringType()),
     ]))),
     _f("fetched_ts", TimestampType()),
+    # Crawl-delay directive (ms; NULL = none): enforced at pop time as
+    # the stricter of this and the ledger's min_delay_ms — never written
+    # back into the politeness table
+    _f("crawl_delay_ms", LongType()),
+    # Sitemap directives: surfaced as depth-1 discovery candidates for
+    # hosts popped in the batch (seen-set makes the injection once-only)
+    _f("sitemap_urls", ArrayType(StringType())),
 ])
 
 FILTER_TERMS = StructType([_f("term", StringType(), False)])

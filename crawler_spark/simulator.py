@@ -75,12 +75,21 @@ class CrawlSimulator:
         # politeness: host_hash -> [used, daily, day]
         self.politeness: dict[int, list[int]] = {}
         self.min_delay: dict[int, int] = {}
+        # robots directives (mirrors operators.politeness.apply_crawl_delay
+        # and operators.robots.sitemap_urls_for_hosts)
+        self.crawl_delay: dict[int, int] = {}
+        self.sitemaps: dict[int, list[str]] = {}
         for h in range(synth.N_HOSTS):
             host = f"host{h:03d}.example.com"
             b = synth.politeness_budget_for_host(host)
             hh = kernels.url_hash64(host)
             self.politeness[hh] = [0, b["daily_quota"], 0]
             self.min_delay[hh] = b["min_delay_ms"]
+            d = synth.robots_directives_for_host(host)
+            if d["crawl_delay_ms"]:
+                self.crawl_delay[hh] = d["crawl_delay_ms"]
+            if d["sitemap_urls"]:
+                self.sitemaps[hh] = d["sitemap_urls"]
         # corpus: image_id -> dict(caption, phash, fmt, w, h, bytes)
         self.corpus: dict[str, dict] = {}
         # pages: url_hash -> normalized page row (the `channels` document)
@@ -129,8 +138,10 @@ class CrawlSimulator:
             hh = r["host_hash"]
             used, daily, day = self.politeness.get(hh, [0, 0, 0])
             budget = daily if day < today else max(daily - used, 0)
-            # min-delay rate cap: fetches that fit one batch window
-            rate_cap = (self.tick_secs * 1000) // max(self.min_delay.get(hh, 1), 1)
+            # min-delay rate cap: fetches that fit one batch window;
+            # robots Crawl-delay tightens it (stricter of the two)
+            eff_delay = max(self.min_delay.get(hh, 1), self.crawl_delay.get(hh, 0))
+            rate_cap = (self.tick_secs * 1000) // max(eff_delay, 1)
             base_cap = self.k_per_host * (
                 len(str(depth_per_host[hh])) if self.adaptive_pop_caps else 1
             )
@@ -239,6 +250,14 @@ class CrawlSimulator:
                 cu = kernels.canonicalize_url(raw)
                 d = r["depth"] + 1
                 cand[cu] = min(cand.get(cu, d), d)
+        # robots Sitemap directives of the batch's POPPED hosts enter the
+        # same candidate pool at depth 1 (engine: sitemap_urls_for_hosts
+        # merged before the min-depth agg); once-only via the seen cache
+        if run_discovery:
+            for r in popped:
+                for raw in self.sitemaps.get(r["host_hash"], ()):
+                    cu = kernels.canonicalize_url(raw)
+                    cand[cu] = min(cand.get(cu, 1), 1)
         n_admitted = n_rejected = 0
         for cu in cand:
             uh = kernels.url_hash64(cu)

@@ -264,7 +264,12 @@ class CrawlScheduler:
         pop_src = frontier if run_recrawl else frontier.filter(
             F.col("last_fetch_ts").isNull()
         )
-        budget = politeness.remaining_budget(polite, as_of, self.tick_secs)
+        # robots Crawl-delay folds into the ledger view (stricter of the
+        # two delays) before the rate cap — read-side only, the table is
+        # never rewritten with the directive
+        budget = politeness.remaining_budget(
+            politeness.apply_crawl_delay(polite, robots_tbl), as_of, self.tick_secs
+        )
         popped = frontier_op.pop(
             pop_src, as_of, self.k_per_host, budget, adaptive=self.adaptive_pop_caps
         ).persist()
@@ -315,7 +320,13 @@ class CrawlScheduler:
         n_admitted = n_rejected = 0
         seen_add = None
         if run_discovery:
-            raw_cand = normalize.discover_candidates(fetched, self.universe)
+            # robots Sitemap directives of the batch's popped hosts join
+            # the outlink stream as depth-1 candidates (once-only via the
+            # seen cache); same admission gates as every other candidate
+            sm = robots.sitemap_urls_for_hosts(popped, robots_tbl)
+            raw_cand = normalize.discover_candidates(
+                fetched, self.universe, extra=sm
+            )
             raw_cand = robots.filter_allowed(raw_cand, robots_tbl).persist()
             # prune the EXACT dedup check to the candidates' own seen
             # buckets: a candidate can only collide inside the bucket its
@@ -922,7 +933,11 @@ class CrawlScheduler:
         if not run_recrawl:
             frontier = frontier.filter(F.col("last_fetch_ts").isNull())
         budget = politeness.remaining_budget(
-            self.store.read("politeness"), as_of, self.tick_secs
+            politeness.apply_crawl_delay(
+                self.store.read("politeness"), self.store.read("robots")
+            ),
+            as_of,
+            self.tick_secs,
         )
         popped = frontier_op.pop(
             frontier, as_of, self.k_per_host, budget, adaptive=self.adaptive_pop_caps

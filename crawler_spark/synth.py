@@ -265,6 +265,24 @@ def robots_rules_for_host(host: str) -> list[dict]:
     return rules
 
 
+def robots_directives_for_host(host: str) -> dict:
+    """Deterministic non-rule robots directives (independent PRNG stream
+    from the rules so adding them never perturbs rule draws):
+    ~20% of hosts declare a Crawl-delay (enforced through the politeness
+    ledger as the stricter of ledger min-delay and the directive), ~15%
+    declare two Sitemap URLs on their own host (surfaced as depth-1
+    discovery candidates the first time the host is popped)."""
+    r = _rng("robotsdir:" + host)
+    crawl_delay_ms = None
+    if r.random() < 0.20:
+        crawl_delay_ms = int(r.choice([1000, 2000, 4000]))
+    sitemaps: list[str] = []
+    if r.random() < 0.15:
+        ks = sorted({int(k) for k in r.integers(0, 50, size=2)})
+        sitemaps = [f"https://{host}/sitemap/{k}" for k in ks]
+    return {"crawl_delay_ms": crawl_delay_ms, "sitemap_urls": sitemaps}
+
+
 def politeness_budget_for_host(host: str) -> dict:
     r = _rng("quota:" + host)
     return {
@@ -338,10 +356,13 @@ def build_robots(spark: SparkSession) -> DataFrame:
     rows = []
     for h in range(N_HOSTS):
         host = f"host{h:03d}.example.com"
+        d = robots_directives_for_host(host)
         rows.append({
             "host_hash": _i64(kernels.url_hash64(host)),
             "rules": [(r["allow"], r["path_prefix"]) for r in robots_rules_for_host(host)],
             "fetched_ts": datetime.fromtimestamp(0, tz=timezone.utc).replace(tzinfo=None),
+            "crawl_delay_ms": d["crawl_delay_ms"],
+            "sitemap_urls": d["sitemap_urls"],
         })
     return spark.createDataFrame(rows, ROBOTS)
 

@@ -146,7 +146,7 @@ def test_politeness_rate_cap(spark):
 def test_robots_longest_prefix(spark):
     host_hash = 77
     rob = spark.createDataFrame(
-        [(host_hash, [(True, "/"), (False, "/page/1")], None)], ROBOTS
+        [(host_hash, [(True, "/"), (False, "/page/1")], None, None, [])], ROBOTS
     )
     cand = spark.createDataFrame(
         [("https://x.com/page/10", 1, host_hash), ("https://x.com/page/20", 2, host_hash),
@@ -228,3 +228,45 @@ def test_keyword_tokenizer_sql_matches_kernel(spark):
     for s, r in zip(samples, out):
         # kernel regex ["].+?["] == SQL "[^"]+" for non-nested quotes
         assert r["toks"] == [t for t in kernels.tokenize_keywords(s) if t != ""]
+
+
+def test_apply_crawl_delay_takes_stricter_delay(spark):
+    # host 1: ledger 500ms, robots Crawl-delay 2000ms -> 2000 binds
+    # host 2: ledger 500ms, directive NULL -> ledger stands
+    # host 3: ledger 500ms, no robots row at all -> ledger stands
+    # host 4: ledger 500ms, directive 100ms (laxer) -> ledger stands
+    pol = spark.createDataFrame(
+        [(h, 0, 100, 20231114, 500) for h in (1, 2, 3, 4)], POLITENESS
+    )
+    robots_tbl = spark.createDataFrame(
+        [(1, 2000), (2, None), (4, 100)],
+        "host_hash long, crawl_delay_ms long",
+    )
+    eff = politeness.apply_crawl_delay(pol, robots_tbl)
+    d = {r["host_hash"]: r["min_delay_ms"] for r in eff.collect()}
+    assert d == {1: 2000, 2: 500, 3: 500, 4: 500}
+    # and the budget rate cap follows the effective delay (tick 2s)
+    b = {r["host_hash"]: r["budget"]
+         for r in politeness.remaining_budget(eff, AS_OF, tick_secs=2).collect()}
+    assert b == {1: 1, 2: 4, 3: 4, 4: 4}
+
+
+def test_sitemap_urls_for_hosts(spark):
+    from crawler_spark.operators import robots as robots_op
+
+    popped = spark.createDataFrame(
+        [(1,), (1,), (3,)], "host_hash long"
+    )
+    robots_tbl = spark.createDataFrame(
+        [(1, ["https://a/sitemap/0", "https://a/sitemap/7"]),
+         (2, ["https://b/sitemap/9"]),
+         (3, [])],
+        "host_hash long, sitemap_urls array<string>",
+    )
+    got = sorted(
+        (r["raw_url"], r["depth"])
+        for r in robots_op.sitemap_urls_for_hosts(popped, robots_tbl).collect()
+    )
+    # only POPPED hosts' sitemaps surface, at depth 1; empty lists explode
+    # to nothing; host 2 (not popped) contributes nothing
+    assert got == [("https://a/sitemap/0", 1), ("https://a/sitemap/7", 1)]

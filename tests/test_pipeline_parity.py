@@ -353,3 +353,53 @@ def test_rebucket_frontier_midcrawl_preserves_run(spark, tmp_path_factory):
     assert last["partition_state_hash"] == table_state_hash(
         b2.store.read("frontier")
     )
+
+
+def test_robots_directives_parity_with_binding_crawl_delay(
+    spark, tmp_path_factory
+):
+    """Richer robots, end to end: with a 6 s tick the Crawl-delay
+    directive BINDS (4000 ms -> 1 pop/batch for that host) and the
+    popped hosts' Sitemap URLs enter discovery — engine and simulator
+    must still agree on counters, pop order, seen set and ledger, and
+    both effects must be non-vacuous on the synthetic web."""
+    pa = dict(universe=500, n_seeds=16, k_per_host=4, tick_secs=6)
+    root = str(tmp_path_factory.mktemp("robots_rich"))
+    eng = CrawlScheduler(spark, root, use_sketch=True, lineage_hashes=False, **pa)
+    eng.init()
+    sim = CrawlSimulator(**pa)
+    eng_stats, sim_stats = [], []
+    for b in range(4):
+        batch_id = int(eng.store.properties().get("batch_id", 0))
+        as_of = pa["tick_secs"] * batch_id + eng.t0_epoch
+        sim_pop = [r["url_hash"] for r in sim._pop(as_of)]
+        assert eng.popped_order(as_of) == sim_pop, f"batch {b} pop order"
+        eng_stats.append(eng.run_batch())
+        sim_stats.append(sim.run_batch())
+    assert eng_stats == sim_stats
+    rows = eng.store.read("seen").select("url_hash", "verdict").collect()
+    assert {r["url_hash"]: r["verdict"] for r in rows} == sim.seen
+    pol = {r["host_hash"]: (r["used_quota"], r["quota_day"])
+           for r in eng.store.read("politeness").collect()}
+    assert pol == {h: (v[0], v[2]) for h, v in sim.politeness.items()}
+    # non-vacuity (a): the directive bit — a strict-delay host was
+    # rate-capped below what its quota would have allowed
+    strict = {h for h, d in sim.crawl_delay.items() if d >= 2000}
+    assert strict, "synthetic web has no strict-delay host"
+    eng_frontier = {r["url_hash"]: r for r in
+                    eng.store.read("frontier").collect()}
+    host_of = {r["url_hash"]: r["host_hash"] for r in eng_frontier.values()}
+    for b, popped in enumerate(sim.pop_log):
+        per = {}
+        for uh in popped:
+            hh = host_of.get(uh)
+            if hh in strict:
+                per[hh] = per.get(hh, 0) + 1
+        for hh, n in per.items():
+            cap = (pa["tick_secs"] * 1000) // sim.crawl_delay[hh]
+            assert n <= max(cap, 0), f"batch {b}: host {hh} popped {n}"
+    # non-vacuity (b): a sitemap URL entered BOTH frontiers identically
+    eng_sm = {r["url"] for r in eng_frontier.values() if "/sitemap/" in r["url"]}
+    sim_sm = {r["url"] for r in sim.frontier.values() if "/sitemap/" in r["url"]}
+    assert eng_sm == sim_sm
+    assert eng_sm, "no sitemap URL was ever admitted"
