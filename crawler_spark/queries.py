@@ -831,3 +831,55 @@ def q_quota_roll_merge(spark, sf_dir):
         F.when(rolled, F.col("requests")).otherwise(F.col("prev_used") + F.col("requests")).alias("used_quota"),
         F.when(rolled, F.lit(today)).otherwise(F.col("prev_day")).alias("quota_day"),
     )
+
+
+@register(
+    "crawl_delay_rate_cap",
+    """
+    WITH led AS (
+      SELECT s_suppkey AS host_hash,
+             CAST(s_nationkey AS INT) AS used_quota,
+             200 + (s_suppkey % 5) * 200 AS min_delay_ms
+      FROM supplier
+    ),
+    cd AS (
+      SELECT s_suppkey AS host_hash,
+             500 * (1 + s_suppkey % 4) AS crawl_delay_ms
+      FROM supplier WHERE s_suppkey % 3 = 0
+    )
+    SELECT led.host_hash,
+           CAST(least(greatest(20 - used_quota, 0),
+                      floor(2000.0 / greatest(min_delay_ms,
+                                              coalesce(crawl_delay_ms, 0), 1)))
+                AS INT) AS budget
+    FROM led LEFT JOIN cd USING (host_hash)
+    """,
+)
+def q_crawl_delay_rate_cap(spark, sf_dir):
+    """Robots Crawl-delay folded into the pop-time rate cap: the REAL
+    operators.politeness.apply_crawl_delay (read-side stricter-of fold,
+    broadcast per-host robots dim, the politeness TABLE never rewritten)
+    composed with remaining_budget(tick_secs=2) — per-host budget =
+    min(quota left today, floor(tick_ms / effective_delay)). Ledger and
+    directives derive deterministically from supplier so the DuckDB
+    oracle states the stricter-of + floor arithmetic in closed form;
+    hosts ≢0 (mod 3) carry NO directive (the left-join NULL branch),
+    directives 500..2000 ms straddle the 200..1000 ms ledger delays so
+    both the binding and the laxer-than-ledger cases are populated."""
+    from crawler_spark.operators import politeness as politeness_op
+
+    s = _t(spark, sf_dir, "supplier")
+    led = s.select(
+        F.col("s_suppkey").alias("host_hash"),
+        F.col("s_nationkey").cast("int").alias("used_quota"),
+        F.lit(20).alias("daily_quota"),
+        F.lit(20240115).alias("quota_day"),
+        (F.lit(200) + (F.col("s_suppkey") % 5) * 200).alias("min_delay_ms"),
+    )
+    cd = s.filter(F.col("s_suppkey") % 3 == 0).select(
+        F.col("s_suppkey").alias("host_hash"),
+        (F.lit(500) * (1 + F.col("s_suppkey") % 4)).alias("crawl_delay_ms"),
+    )
+    # as_of noon UTC = 04:00 Pacific Jan 15 -> quota_day holds (no roll)
+    eff = politeness_op.apply_crawl_delay(led, cd)
+    return politeness_op.remaining_budget(eff, "2024-01-15 12:00:00", tick_secs=2)
