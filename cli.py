@@ -39,6 +39,11 @@ def main(argv=None) -> None:
                    help="maintain the DSIR data-selection sidecar (tokenize-"
                         "once feature table + folded count distributions; "
                         "same maintenance-cadence default as --pq)")
+    p.add_argument("--streaming", action="store_true",
+                   help="drive the batches through Structured Streaming "
+                        "(foreachBatch tick source + concurrent live skew "
+                        "feed) instead of the plain loop — semantics-free: "
+                        "tables are bit-identical either way")
     p.add_argument("--no-lineage-hash", action="store_true")
     p.add_argument("--no-discovery", action="store_true")
     p.add_argument("--no-recrawl", action="store_true")
@@ -89,6 +94,18 @@ def main(argv=None) -> None:
 
     spark = get_spark("crawler_spark_cli")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.streaming:
+        from crawler_spark.streaming.demo import run_streaming_crawl
+
+        t0 = time.perf_counter()
+        out = run_streaming_crawl(
+            spark, args.root, args.batches, **cfg.scheduler_kwargs()
+        )
+        for stats in out.pop("per_batch"):
+            print(json.dumps(stats), flush=True)
+        out["total_secs"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(out), flush=True)
+        return
     sched = CrawlScheduler(spark, args.root, **cfg.scheduler_kwargs())
     sched.init()
     t0 = time.perf_counter()
