@@ -883,3 +883,50 @@ def q_crawl_delay_rate_cap(spark, sf_dir):
     # as_of noon UTC = 04:00 Pacific Jan 15 -> quota_day holds (no roll)
     eff = politeness_op.apply_crawl_delay(led, cd)
     return politeness_op.remaining_budget(eff, "2024-01-15 12:00:00", tick_secs=2)
+
+
+@register(
+    "sitemap_discovery",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS host_hash
+      FROM customer WHERE c_custkey % 7 < 3
+    ),
+    ruled AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS host_hash
+      FROM nation WHERE n_nationkey % 2 = 0
+    )
+    SELECT 'https://h' || ruled.host_hash || '/sitemap/' || s.i AS raw_url,
+           CAST(1 AS INT) AS depth
+    FROM ruled
+    JOIN hosts USING (host_hash)
+    CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) s
+    """,
+)
+def q_sitemap_discovery(spark, sf_dir):
+    """Robots Sitemap directives as a discovery source: the REAL
+    operators.robots.sitemap_urls_for_hosts (distinct popped hosts
+    semi-joined against the broadcast per-host robots dim, sitemap
+    arrays exploded to depth-1 candidates). Nation stands in as the
+    robots dim (even hosts declare two sitemaps, odd hosts an empty
+    array — which must explode to NOTHING) and customer as the popped
+    batch (many pops per host — the distinct makes injection per-host,
+    not per-pop), so the DuckDB oracle is a closed-form join x {0,1}."""
+    from crawler_spark.operators.robots import sitemap_urls_for_hosts
+
+    nat = _t(spark, sf_dir, "nation")
+    h = F.col("n_nationkey").cast("long")
+    robots_tbl = nat.select(
+        h.alias("host_hash"),
+        F.when(
+            h % 2 == 0,
+            F.array(
+                F.concat(F.lit("https://h"), h.cast("string"), F.lit("/sitemap/0")),
+                F.concat(F.lit("https://h"), h.cast("string"), F.lit("/sitemap/1")),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("sitemap_urls"),
+    )
+    popped = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 < 3).select(
+        F.col("c_nationkey").cast("long").alias("host_hash")
+    )
+    return sitemap_urls_for_hosts(popped, robots_tbl)
