@@ -50,7 +50,11 @@ def apply_crawl_delay(politeness: DataFrame, robots: DataFrame) -> DataFrame:
     STRICTER of the ledger's min_delay_ms and the host's directive.
     Read-side only — the politeness TABLE keeps its own min_delay_ms,
     so a changed robots fetch takes effect on the next pop without a
-    ledger rewrite. Broadcast join (robots is per-host)."""
+    ledger rewrite. Broadcast join: both sides are per-HOST dims, so
+    this never touches the frontier's row count; at extreme host
+    cardinality (10^8 hosts ~ GBs) drop the hint and let AQE choose,
+    same as remaining_budget's note — the ledger and robots shuffle
+    host_hash-to-host_hash, still O(hosts) not O(frontier)."""
     cd = robots.select("host_hash", "crawl_delay_ms")
     return (
         politeness.join(F.broadcast(cd), "host_hash", "left")
