@@ -46,6 +46,12 @@ class CrawlConfig:
     # (channel_discovery_crawler.rs:109-118, channel_update_crawler.rs:12)
     discovery_interval_secs: int = 0
     recrawl_interval_secs: int = 0
+    # robots refetch staleness: popped hosts re-read robots.txt when the
+    # cached row is older than the TTL (0 = cache forever, the
+    # reference's process-lifetime behavior, src/main.rs:162-164); the
+    # synth web rewrites robots content every change-period seconds
+    robots_ttl_secs: int = 0
+    robots_change_period_secs: int = 0
     maintenance_every: int = 0  # 0 = off; else compact+gc every N batches
     # maintain the similarity-index sidecar (<root>/vindex) in the same
     # maintenance tick as corpus dedup

@@ -51,6 +51,40 @@ def filter_allowed(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     return candidates.join(verdict, "url_hash", "left_semi")
 
 
+def stale_hosts(
+    popped: DataFrame, robots: DataFrame, as_of_ts, ttl_secs: int
+) -> DataFrame:
+    """(host, host_hash) of the batch's popped hosts whose cached robots
+    row is stale (fetched_ts older than the TTL) or missing — the refetch
+    set, mirroring the reference's process-lifetime cache going cold
+    (src/main.rs:162-164 re-reads dims at startup; a long-lived crawler
+    must re-read on a cadence instead). Distinct popped hosts are O(pop
+    cap), so the left join broadcasts the tiny host set against the
+    per-host robots dim; at 10^8-host scale drop the hint and let AQE
+    pick, same note as politeness.apply_crawl_delay."""
+    cutoff = F.lit(as_of_ts).cast("timestamp") - F.expr(
+        f"INTERVAL {int(ttl_secs)} SECOND"
+    )
+    hosts = popped.select("host", "host_hash").distinct()
+    return (
+        robots.select("host_hash", "fetched_ts")
+        .join(F.broadcast(hosts), "host_hash", "right")
+        .filter(F.col("fetched_ts").isNull() | (F.col("fetched_ts") <= cutoff))
+        .select("host", "host_hash")
+    )
+
+
+def fold_refetch(robots: DataFrame, refreshed: DataFrame) -> DataFrame:
+    """Fold freshly fetched robots rows over the cached table: refreshed
+    hosts replace their old row, everything else carries through. The
+    robots table is a per-host dim (O(hosts) rows — politeness.py's
+    sizing note applies), so a full-rewrite fold matches the politeness
+    charge; the read-side delay/sitemap folds bind the new content on
+    the NEXT pop with zero further I/O."""
+    keep = robots.join(refreshed.select("host_hash"), "host_hash", "left_anti")
+    return keep.unionByName(refreshed.select(*robots.columns))
+
+
 def sitemap_urls_for_hosts(popped: DataFrame, robots: DataFrame) -> DataFrame:
     """Sitemap directives as a discovery source: the batch's popped
     hosts surface their robots Sitemap URLs as depth-1 candidates

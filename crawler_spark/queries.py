@@ -930,3 +930,48 @@ def q_sitemap_discovery(spark, sf_dir):
         F.col("c_nationkey").cast("long").alias("host_hash")
     )
     return sitemap_urls_for_hosts(popped, robots_tbl)
+
+
+@register(
+    "robots_refetch_due",
+    """
+    WITH popped AS (
+      SELECT DISTINCT 'h' || CAST(c_nationkey AS VARCHAR) AS host,
+             CAST(c_nationkey AS BIGINT) AS host_hash
+      FROM customer WHERE c_custkey % 5 < 2
+    ),
+    rb AS (
+      SELECT CAST(s_suppkey AS BIGINT) AS host_hash,
+             s_suppkey % 10 AS age
+      FROM supplier WHERE s_suppkey <= 20
+    )
+    SELECT popped.host, popped.host_hash
+    FROM popped LEFT JOIN rb USING (host_hash)
+    WHERE rb.host_hash IS NULL OR rb.age <= 3
+    """,
+)
+def q_robots_refetch_due(spark, sf_dir):
+    """Robots refetch staleness selection: the REAL operators.robots.
+    stale_hosts (distinct popped hosts right-joined against the per-host
+    robots dim, due when the cached fetched_ts is older than the TTL OR
+    the host has no cached row at all). Supplier keys <= 20 stand in as
+    the robots cache with fetched_ts = 2024-01-01 + (s_suppkey%10) days;
+    customer as the popped batch (c_nationkey 0..24, so keys 0 and 21+
+    exercise the missing-row branch). as_of 2024-01-08 with a 4-day TTL
+    makes the cutoff 2024-01-04, so the DuckDB oracle states the
+    staleness arithmetic in closed form: due iff s_suppkey%10 <= 3 or no
+    row. In the loop this feeds scheduler step 1b (refetch + MERGE)."""
+    from crawler_spark.operators.robots import stale_hosts
+
+    popped = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 < 2).select(
+        F.concat(F.lit("h"), F.col("c_nationkey").cast("string")).alias("host"),
+        F.col("c_nationkey").cast("long").alias("host_hash"),
+    )
+    robots_tbl = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 20).select(
+        F.col("s_suppkey").cast("long").alias("host_hash"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, CAST(s_suppkey % 10 AS INT))"
+        ).alias("fetched_ts"),
+    )
+    return stale_hosts(popped, robots_tbl, "2024-01-08 00:00:00", 4 * 86400)

@@ -51,6 +51,8 @@ class CrawlSimulator:
         discovery_interval_secs: int = 0,
         recrawl_interval_secs: int = 0,
         adaptive_pop_caps: bool = False,
+        robots_ttl_secs: int = 0,
+        robots_change_period_secs: int = 0,
     ):
         self.universe = universe
         self.k_per_host = k_per_host
@@ -79,10 +81,23 @@ class CrawlSimulator:
         # and operators.robots.sitemap_urls_for_hosts)
         self.crawl_delay: dict[int, int] = {}
         self.sitemaps: dict[int, list[str]] = {}
+        # robots refetch staleness (mirrors scheduler step 1b): per-host
+        # fetched epoch (bootstrap = epoch 0, like build_robots) and the
+        # CONTENT version of the last fetch — rules draw at that version
+        # in the admission gate, so a stale cache keeps serving its old
+        # verdicts exactly like the engine's robots table
+        self.robots_ttl_secs = robots_ttl_secs
+        self.robots_change_period_secs = robots_change_period_secs
+        self.robots_fetched: dict[int, int] = {}
+        self.robots_version: dict[int, int] = {}
+        self._host_by_hash: dict[int, str] = {}
         for h in range(synth.N_HOSTS):
             host = f"host{h:03d}.example.com"
             b = synth.politeness_budget_for_host(host)
             hh = kernels.url_hash64(host)
+            self._host_by_hash[hh] = host
+            self.robots_fetched[hh] = 0
+            self.robots_version[hh] = 0
             self.politeness[hh] = [0, b["daily_quota"], 0]
             self.min_delay[hh] = b["min_delay_ms"]
             d = synth.robots_directives_for_host(host)
@@ -261,7 +276,10 @@ class CrawlSimulator:
         n_admitted = n_rejected = 0
         for cu in cand:
             uh = kernels.url_hash64(cu)
-            if not synth.robots_allowed(cu):
+            # rules at the host's last-FETCHED content version (engine:
+            # the robots table row written by the last refetch)
+            cand_hh = kernels.url_hash64(kernels.host_of(cu))
+            if not synth.robots_allowed(cu, self.robots_version.get(cand_hh, 0)):
                 continue
             if uh in self.seen:
                 continue
@@ -287,6 +305,29 @@ class CrawlSimulator:
             else:
                 n_rejected += 1
                 self.seen[uh] = "rejected"
+
+        # robots refetch (mirrors scheduler step 1b): popped hosts whose
+        # cached robots row is older than the TTL re-read robots.txt at
+        # the current synth content version; applied AFTER this batch's
+        # pop/admission used the stale cache (the engine's refreshed rows
+        # commit with the batch and bind on the NEXT pop)
+        if self.robots_ttl_secs > 0:
+            ver = synth.robots_version_at(
+                as_of, self.t0_epoch, self.robots_change_period_secs
+            )
+            for hh in {r["host_hash"] for r in popped}:
+                if as_of - self.robots_fetched.get(hh, 0) < self.robots_ttl_secs:
+                    continue
+                host = self._host_by_hash[hh]
+                d = synth.robots_directives_for_host(host, ver)
+                self.crawl_delay.pop(hh, None)
+                self.sitemaps.pop(hh, None)
+                if d["crawl_delay_ms"]:
+                    self.crawl_delay[hh] = d["crawl_delay_ms"]
+                if d["sitemap_urls"]:
+                    self.sitemaps[hh] = d["sitemap_urls"]
+                self.robots_fetched[hh] = as_of
+                self.robots_version[hh] = ver
 
         self.batch_id += 1
         return {

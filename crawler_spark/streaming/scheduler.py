@@ -68,6 +68,8 @@ class CrawlScheduler:
         enable_recrawl: bool = True,
         discovery_interval_secs: int = 0,
         recrawl_interval_secs: int = 0,
+        robots_ttl_secs: int = 0,
+        robots_change_period_secs: int = 0,
         maintenance_every: int | None = None,
         full_dedup_every: int = 4,
         maintain_vindex: bool = True,
@@ -126,6 +128,14 @@ class CrawlScheduler:
         # keeps its cadence phase (T2).
         self.discovery_interval_secs = discovery_interval_secs
         self.recrawl_interval_secs = recrawl_interval_secs
+        # robots refetch staleness (0 = cache forever, the reference's
+        # process-lifetime behavior): popped hosts whose robots row is
+        # older than the TTL refetch it this batch; the synth web's
+        # content version advances every robots_change_period_secs
+        # (synth.robots_version_at), so a refetch can CHANGE rules and
+        # directives — both bind on the next pop via the read-side folds
+        self.robots_ttl_secs = robots_ttl_secs
+        self.robots_change_period_secs = robots_change_period_secs
         # every N batches: compact the append log + expire old snapshots
         # (semantics-free maintenance; keeps file counts and store size
         # bounded over long crawls)
@@ -280,6 +290,29 @@ class CrawlScheduler:
             return {"batch_id": batch_id, "popped": 0, "fetched_ok": 0,
                     "errors": 0, "admitted": 0, "rejected": 0}
 
+        # 1b. robots refetch (staleness TTL): popped hosts whose cached
+        # robots row is stale re-read robots.txt this batch — the fresh
+        # rows MERGE with the batch commit and BIND on the NEXT pop via
+        # the read-side delay/sitemap/rules folds (the robots contract:
+        # the politeness table is never rewritten). Stale set is O(popped
+        # hosts); the driver-side row build mirrors the bootstrap path
+        # and the simulator's end-of-batch refetch exactly.
+        robots_changed = None
+        if self.robots_ttl_secs > 0:
+            stale = robots.stale_hosts(
+                popped, robots_tbl, as_of, self.robots_ttl_secs
+            ).collect()
+            if stale:
+                ver = synth.robots_version_at(
+                    as_of_epoch, self.t0_epoch, self.robots_change_period_secs
+                )
+                refreshed = self.spark.createDataFrame(
+                    [synth.robots_row_for_host(r["host"], ver, as_of_epoch)
+                     for r in stale],
+                    TABLE_SCHEMAS["robots"],
+                )
+                robots_changed = robots.fold_refetch(robots_tbl, refreshed)
+
         # 2. fetch (vectorized; host-partitioned)
         fetched = fetch_op.fetch(popped, self.universe).persist()
         if self.collect_stats:
@@ -405,6 +438,8 @@ class CrawlScheduler:
             ),
         }
         changed = {"politeness": new_polite}
+        if robots_changed is not None:
+            changed["robots"] = robots_changed
         seen_plan = None
         if seen_add is not None:
             seen_plan = st.plan_merge("seen", seen_add, key="url_hash")

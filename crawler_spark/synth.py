@@ -253,11 +253,24 @@ def fetch_pages(urls: pd.Series, universe: int = 10_000) -> pd.DataFrame:
 # robots / politeness / seeds / deny-list
 # ---------------------------------------------------------------------------
 
-def robots_rules_for_host(host: str) -> list[dict]:
+def robots_version_at(epoch: int, t0_epoch: int, period_secs: int) -> int:
+    """Content version of every host's robots file at `epoch`: the synth
+    web rewrites robots once per `period_secs` (0 = never — version 0
+    forever, the pre-versioning behavior). Pure arithmetic so engine and
+    simulator derive the same version from the same injected clock."""
+    if period_secs <= 0:
+        return 0
+    return max(0, (epoch - t0_epoch) // period_secs)
+
+
+def robots_rules_for_host(host: str, version: int = 0) -> list[dict]:
     """Deterministic robots rules: ~25% of hosts disallow a path-prefix
     band of their /page/ space; everything else allowed (longest-prefix
-    wins, evaluated by operators.robots)."""
-    r = _rng("robots:" + host)
+    wins, evaluated by operators.robots). version>0 redraws from an
+    independent PRNG stream (robots refetch staleness); version 0 is the
+    original stream, so enabling versioning never shifts existing draws."""
+    key = "robots:" if version == 0 else f"robots:v{version}:"
+    r = _rng(key + host)
     rules = [{"allow": True, "path_prefix": "/"}]
     if r.random() < 0.25:
         digit = int(r.integers(0, 10))
@@ -265,14 +278,16 @@ def robots_rules_for_host(host: str) -> list[dict]:
     return rules
 
 
-def robots_directives_for_host(host: str) -> dict:
+def robots_directives_for_host(host: str, version: int = 0) -> dict:
     """Deterministic non-rule robots directives (independent PRNG stream
     from the rules so adding them never perturbs rule draws):
     ~20% of hosts declare a Crawl-delay (enforced through the politeness
     ledger as the stricter of ledger min-delay and the directive), ~15%
     declare two Sitemap URLs on their own host (surfaced as depth-1
-    discovery candidates the first time the host is popped)."""
-    r = _rng("robotsdir:" + host)
+    discovery candidates the first time the host is popped). version>0
+    redraws both directives from a fresh stream (see robots_version_at)."""
+    key = "robotsdir:" if version == 0 else f"robotsdir:v{version}:"
+    r = _rng(key + host)
     crawl_delay_ms = None
     if r.random() < 0.20:
         crawl_delay_ms = int(r.choice([1000, 2000, 4000]))
@@ -291,14 +306,16 @@ def politeness_budget_for_host(host: str) -> dict:
     }
 
 
-def robots_allowed(url: str) -> bool:
+def robots_allowed(url: str, version: int = 0) -> bool:
     """Pure-Python robots verdict (longest matching prefix wins) — shared
     by simulator and tests; the Spark path computes the same thing
-    set-wise in operators.robots."""
+    set-wise in operators.robots. `version` selects the host's robots
+    content generation (the simulator passes its per-host FETCHED
+    version, mirroring the engine's robots-table-as-of-last-fetch)."""
     s_host = kernels.host_of(url)
     path = "/" + url.split("://", 1)[-1].split("/", 1)[-1]
     best, verdict = -1, True
-    for rule in robots_rules_for_host(s_host):
+    for rule in robots_rules_for_host(s_host, version):
         p = rule["path_prefix"]
         if path.startswith(p) and len(p) > best:
             best, verdict = len(p), rule["allow"]
@@ -352,18 +369,27 @@ def build_seed_frontier(
     return spark.createDataFrame(pd.DataFrame(rows), FRONTIER)
 
 
+def robots_row_for_host(host: str, version: int = 0, fetched_epoch: int = 0) -> dict:
+    """One robots-table row at a given content version — shared by the
+    bootstrap build (version 0, fetched at epoch 0) and the scheduler's
+    refetch MERGE (version at the refetch tick)."""
+    d = robots_directives_for_host(host, version)
+    return {
+        "host_hash": _i64(kernels.url_hash64(host)),
+        "rules": [(r["allow"], r["path_prefix"])
+                  for r in robots_rules_for_host(host, version)],
+        "fetched_ts": datetime.fromtimestamp(
+            fetched_epoch, tz=timezone.utc
+        ).replace(tzinfo=None),
+        "crawl_delay_ms": d["crawl_delay_ms"],
+        "sitemap_urls": d["sitemap_urls"],
+    }
+
+
 def build_robots(spark: SparkSession) -> DataFrame:
-    rows = []
-    for h in range(N_HOSTS):
-        host = f"host{h:03d}.example.com"
-        d = robots_directives_for_host(host)
-        rows.append({
-            "host_hash": _i64(kernels.url_hash64(host)),
-            "rules": [(r["allow"], r["path_prefix"]) for r in robots_rules_for_host(host)],
-            "fetched_ts": datetime.fromtimestamp(0, tz=timezone.utc).replace(tzinfo=None),
-            "crawl_delay_ms": d["crawl_delay_ms"],
-            "sitemap_urls": d["sitemap_urls"],
-        })
+    rows = [
+        robots_row_for_host(f"host{h:03d}.example.com") for h in range(N_HOSTS)
+    ]
     return spark.createDataFrame(rows, ROBOTS)
 
 

@@ -403,3 +403,70 @@ def test_robots_directives_parity_with_binding_crawl_delay(
     sim_sm = {r["url"] for r in sim.frontier.values() if "/sitemap/" in r["url"]}
     assert eng_sm == sim_sm
     assert eng_sm, "no sitemap URL was ever admitted"
+
+
+def test_robots_refetch_staleness_parity(spark, tmp_path_factory):
+    """Robots REFETCH staleness, end to end: with a 12 h TTL and a 12 h
+    content change period, hosts popped in batch 0 refetch at version 0
+    (fetched_ts bump only) and re-refetch from batch 2 on at version 1+
+    — CHANGED rules/directives that must bind identically in engine and
+    simulator (pop order, counters, seen set, ledger), and the robots
+    TABLE itself must mirror the simulator's per-host fetched/version
+    state row for row."""
+    pa = dict(
+        universe=500, n_seeds=16, k_per_host=4, tick_secs=6 * 3600,
+        robots_ttl_secs=12 * 3600, robots_change_period_secs=12 * 3600,
+    )
+    root = str(tmp_path_factory.mktemp("robots_refetch"))
+    eng = CrawlScheduler(spark, root, use_sketch=True, lineage_hashes=False, **pa)
+    eng.init()
+    sim = CrawlSimulator(**pa)
+    eng_stats, sim_stats = [], []
+    for b in range(5):
+        batch_id = int(eng.store.properties().get("batch_id", 0))
+        as_of = pa["tick_secs"] * batch_id + eng.t0_epoch
+        sim_pop = [r["url_hash"] for r in sim._pop(as_of)]
+        assert eng.popped_order(as_of) == sim_pop, f"batch {b} pop order"
+        eng_stats.append(eng.run_batch())
+        sim_stats.append(sim.run_batch())
+    assert eng_stats == sim_stats
+    rows = eng.store.read("seen").select("url_hash", "verdict").collect()
+    assert {r["url_hash"]: r["verdict"] for r in rows} == sim.seen
+    pol = {r["host_hash"]: (r["used_quota"], r["quota_day"])
+           for r in eng.store.read("politeness").collect()}
+    assert pol == {h: (v[0], v[2]) for h, v in sim.politeness.items()}
+    # robots TABLE parity: every row's fetched_ts and content must equal
+    # the simulator's per-host (fetched_epoch, version) state
+    eng_robots = {r["host_hash"]: r for r in eng.store.read("robots").collect()}
+    assert set(eng_robots) == set(sim.robots_fetched)
+    for hh, row in eng_robots.items():
+        host = sim._host_by_hash[hh]
+        ver = sim.robots_version[hh]
+        fetched = int(row["fetched_ts"].replace(tzinfo=timezone.utc).timestamp())
+        assert fetched == sim.robots_fetched[hh], f"host {host} fetched_ts"
+        d = synth.robots_directives_for_host(host, ver)
+        assert row["crawl_delay_ms"] == d["crawl_delay_ms"], f"host {host} delay"
+        assert list(row["sitemap_urls"]) == d["sitemap_urls"], f"host {host} sitemaps"
+        rules = [(x["allow"], x["path_prefix"])
+                 for x in synth.robots_rules_for_host(host, ver)]
+        assert [(x["allow"], x["path_prefix"]) for x in row["rules"]] == rules
+    # non-vacuity (a): some popped host reached version >= 1 with content
+    # that actually DIFFERS from its version-0 draw
+    bumped = [hh for hh, v in sim.robots_version.items() if v >= 1]
+    assert bumped, "no host ever refetched at a new content version"
+    changed = [
+        hh for hh in bumped
+        if synth.robots_directives_for_host(sim._host_by_hash[hh], sim.robots_version[hh])
+        != synth.robots_directives_for_host(sim._host_by_hash[hh])
+        or synth.robots_rules_for_host(sim._host_by_hash[hh], sim.robots_version[hh])
+        != synth.robots_rules_for_host(sim._host_by_hash[hh])
+    ]
+    assert changed, "every refetched host drew identical content"
+    # non-vacuity (b): the refetch changed crawl BEHAVIOR — a twin
+    # simulator with the TTL off (robots cached forever) diverges
+    twin = CrawlSimulator(**{**pa, "robots_ttl_secs": 0})
+    twin.run(5)
+    assert sim.seen != twin.seen or sim.pop_log != twin.pop_log, (
+        "refetch was behaviorally inert — pick params where a changed "
+        "rule or directive binds"
+    )
