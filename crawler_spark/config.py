@@ -52,6 +52,9 @@ class CrawlConfig:
     # synth web rewrites robots content every change-period seconds
     robots_ttl_secs: int = 0
     robots_change_period_secs: int = 0
+    # fold each batch's outlink host edges into the persisted host_edges
+    # table and recompute host_ranks (PageRank) at maintenance ticks
+    maintain_host_graph: bool = False
     maintenance_every: int = 0  # 0 = off; else compact+gc every N batches
     # maintain the similarity-index sidecar (<root>/vindex) in the same
     # maintenance tick as corpus dedup

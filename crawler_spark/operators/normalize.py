@@ -251,6 +251,25 @@ def to_metrics(fetched: DataFrame, as_of_ts) -> DataFrame:
     ).select(*[f.name for f in METRICS_DAILY.fields])
 
 
+def to_host_edges(fetched: DataFrame) -> DataFrame:
+    """(src, dst, w): the batch's host-graph edge increments — one count
+    per outlink occurrence on a successfully fetched page, dst resolved
+    through the SAME canonicalization the admission path uses (so the
+    graph speaks canonical hosts). Feeds the additive host_edges fold
+    (queries_graph.fold_edge_counts) when the scheduler maintains the
+    host graph; ranks derive from the folded table at maintenance ticks.
+    One explode + one partial-aggregated groupBy — the count combines
+    map-side, so a hot host's fan-out never concentrates in one task."""
+    links = fetched.filter(F.col("status") == 200).select(
+        F.col("host_hash").alias("src"), F.explode("outlinks").alias("raw_url")
+    )
+    return (
+        links.withColumn("dst", url_hash_udf(host_udf(canonical_url_udf("raw_url"))))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
 def discover_candidates(
     fetched: DataFrame, universe: int = 10_000, extra: DataFrame | None = None
 ) -> DataFrame:

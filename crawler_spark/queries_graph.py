@@ -629,34 +629,36 @@ _PAGERANK_SQL = """
 )
 
 
-@register("host_pagerank", _PAGERANK_SQL)
-def q_host_pagerank(spark, sf_dir):
-    """Fixed-iteration weighted PageRank over the derived host graph.
-    Edges persist across iterations (released by cleanup_caches); each
-    iteration is one join + one agg, all JVM-side."""
-    li = _t(spark, sf_dir, "lineitem")
-    e0 = (
-        li.select(
-            (F.col("l_suppkey") % _PR_HOSTS).alias("src"),
-            (F.col("l_partkey") % _PR_HOSTS).alias("dst"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    nodes = track_persist(
+def pagerank_over_edges(
+    e0: DataFrame,
+    iters: int = _PR_ITERS,
+    d: float = _PR_D,
+    persist_fn=track_persist,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over an edge-count frame
+    (src, dst, w): self-loops dropped, out-weights normalized per src,
+    the per-iteration 9 dp rounding that keeps cross-engine float sums
+    in lockstep (module header). Shared by the registry queries and the
+    crawl loop's host_ranks maintenance (scheduler.host_rank_upkeep).
+    `persist_fn` persists the two iteration-invariant frames: registry
+    callers leave the default (released by cleanup_caches); the loop
+    passes a plain persist inside its RDD fence."""
+    nodes = persist_fn(
         e0.select(F.col("src").alias("host"))
         .union(e0.select(F.col("dst").alias("host")))
         .distinct()
     )
-    nn = nodes.count()  # vertex count: bounded by _PR_HOSTS, driver-safe
+    nn = nodes.count()  # vertex count: O(hosts), driver-safe
+    if nn == 0:
+        return nodes.select("host", F.lit(0.0).alias("pagerank"))
     wsum = Window.partitionBy("src")
-    e = track_persist(
+    e = persist_fn(
         e0.filter(F.col("src") != F.col("dst")).select(
             "src", "dst", (F.col("w") / F.sum("w").over(wsum)).alias("wn")
         )
     )
     ranks = nodes.select("host", (F.lit(1.0) / F.lit(float(nn))).alias("r"))
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         contrib = (
             e.join(ranks, e.src == ranks.host)
             .groupBy("dst")
@@ -666,10 +668,73 @@ def q_host_pagerank(spark, sf_dir):
         ranks = nodes.join(contrib, "host", "left").select(
             "host",
             F.round(
-                F.lit((1.0 - _PR_D) / nn)
-                + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                F.lit((1.0 - d) / nn)
+                + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
                 + F.lit(1e-12),
                 9,
             ).alias("r"),
         )
     return ranks.select("host", F.round(F.col("r") + F.lit(1e-9), 6).alias("pagerank"))
+
+
+def fold_edge_counts(prev: DataFrame, batch: DataFrame) -> DataFrame:
+    """Upsert rows for an additive edge-count fold: the batch's (src,
+    dst) keys with w = prior + increment. Integer addition is exact and
+    associative, so folding batch-by-batch is bit-identical to counting
+    over the union — the invariant host_pagerank_incremental pins.
+    `prev` may be the full edge table or (in the loop) just the
+    touched-bucket slice the CoW merge reads: a key absent from the
+    batch never appears in the output, so plan_merge carries it
+    through untouched."""
+    p = prev.select("src", "dst", F.col("w").alias("__pw"))
+    return batch.join(p, ["src", "dst"], "left").select(
+        "src", "dst",
+        (F.coalesce("__pw", F.lit(0)) + F.col("w")).cast("long").alias("w"),
+    )
+
+
+def _lineitem_host_edges(li: DataFrame) -> DataFrame:
+    """The derived host graph of the module header: edge (l_suppkey%H)
+    -> (l_partkey%H) weighted by row count."""
+    return (
+        li.select(
+            (F.col("l_suppkey") % _PR_HOSTS).alias("src"),
+            (F.col("l_partkey") % _PR_HOSTS).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
+@register("host_pagerank", _PAGERANK_SQL)
+def q_host_pagerank(spark, sf_dir):
+    """Fixed-iteration weighted PageRank over the derived host graph.
+    Edges persist across iterations (released by cleanup_caches); each
+    iteration is one join + one agg, all JVM-side."""
+    return pagerank_over_edges(_lineitem_host_edges(_t(spark, sf_dir, "lineitem")))
+
+
+@register("host_pagerank_incremental", _PAGERANK_SQL)
+def q_host_pagerank_incremental(spark, sf_dir):
+    """The incremental path registered against the SAME oracle as
+    host_pagerank: lineitem arrives in three chunks (l_orderkey mod 3),
+    each chunk's edge counts folded into the running edge state by
+    fold_edge_counts + MERGE-compose (exactly what run_batch does
+    bucket-sliced against the persisted host_edges table), then ONE
+    fixed-iteration PageRank over the folded edges. Additive integer
+    folds make the edge state bit-identical to the single-pass count,
+    so the rank recompute — the O(hosts) part, tiny next to the corpus
+    — is the only non-incremental stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    state = None
+    for chunk in range(3):
+        batch = _lineitem_host_edges(li.filter(F.col("l_orderkey") % 3 == chunk))
+        if state is None:
+            state = batch
+        else:
+            ups = fold_edge_counts(state, batch)
+            state = ups.unionByName(
+                state.join(ups.select("src", "dst"), ["src", "dst"], "left_anti")
+            )
+        state = track_persist(state)
+    return pagerank_over_edges(state)

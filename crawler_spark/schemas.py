@@ -248,6 +248,20 @@ CORPUS_BANDS = StructType([
     _f("phash", LongType()),
 ])
 
+# host link graph (loop-maintained, opt-in): additive edge counts folded
+# per batch from the fetched pages' outlinks; host_ranks is the fixed-
+# iteration PageRank recomputed from the folded edges at maintenance
+# ticks (crawl prioritization signal — queries_graph.pagerank_over_edges)
+HOST_EDGES = StructType([
+    _f("src", LongType(), False),
+    _f("dst", LongType(), False),
+    _f("w", LongType()),
+])
+HOST_RANKS = StructType([
+    _f("host_hash", LongType(), False),
+    _f("pagerank", DoubleType()),
+])
+
 # discovery link graph (ref: subscriptions API, youtube_service.rs:48-102)
 LINKS = StructType([
     _f("src_url_hash", LongType(), False),
@@ -278,4 +292,6 @@ TABLE_SCHEMAS: dict[str, StructType] = {
     "dsir_counts": DSIR_COUNTS,
     "corpus_clusters": CORPUS_CLUSTERS,
     "corpus_bands": CORPUS_BANDS,
+    "host_edges": HOST_EDGES,
+    "host_ranks": HOST_RANKS,
 }

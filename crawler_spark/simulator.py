@@ -105,6 +105,12 @@ class CrawlSimulator:
                 self.crawl_delay[hh] = d["crawl_delay_ms"]
             if d["sitemap_urls"]:
                 self.sitemaps[hh] = d["sitemap_urls"]
+        # host link graph (mirrors normalize.to_host_edges + the additive
+        # host_edges fold): one count per outlink occurrence on a
+        # successfully fetched page, dst = canonical host. Always
+        # accumulated (pure-Python, cheap); the engine folds it only
+        # when maintain_host_graph is on — parity tests compare then.
+        self.host_edges: dict[tuple[int, int], int] = {}
         # corpus: image_id -> dict(caption, phash, fmt, w, h, bytes)
         self.corpus: dict[str, dict] = {}
         # pages: url_hash -> normalized page row (the `channels` document)
@@ -201,6 +207,11 @@ class CrawlSimulator:
                 continue
             page = synth.page_for_url(url, self.universe)
             n_ok += 1
+            # host-graph edge increments (normalize.to_host_edges mirror)
+            for raw in page["outlinks"]:
+                dst = kernels.url_hash64(kernels.host_of(kernels.canonicalize_url(raw)))
+                k = (r["host_hash"], dst)
+                self.host_edges[k] = self.host_edges.get(k, 0) + 1
             # pagination pages of the 50-per-page discovery listing
             counts[r["host_hash"]] += -(-len(page["outlinks"]) // 50)
             age = as_of - page["published_epoch"]

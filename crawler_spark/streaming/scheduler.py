@@ -70,6 +70,7 @@ class CrawlScheduler:
         recrawl_interval_secs: int = 0,
         robots_ttl_secs: int = 0,
         robots_change_period_secs: int = 0,
+        maintain_host_graph: bool = False,
         maintenance_every: int | None = None,
         full_dedup_every: int = 4,
         maintain_vindex: bool = True,
@@ -136,6 +137,12 @@ class CrawlScheduler:
         # directives — both bind on the next pop via the read-side folds
         self.robots_ttl_secs = robots_ttl_secs
         self.robots_change_period_secs = robots_change_period_secs
+        # opt-in host link graph: fold each batch's outlink host edges
+        # into the persisted host_edges table (additive counts, CoW on
+        # the batch's src buckets) and recompute host_ranks from the
+        # folded edges at maintenance ticks — the crawl-prioritization
+        # signal (queries_graph.pagerank_over_edges)
+        self.maintain_host_graph = maintain_host_graph
         # every N batches: compact the append log + expire old snapshots
         # (semantics-free maintenance; keeps file counts and store size
         # bounded over long crawls)
@@ -440,6 +447,25 @@ class CrawlScheduler:
         changed = {"politeness": new_polite}
         if robots_changed is not None:
             changed["robots"] = robots_changed
+        batch_edges = None
+        if self.maintain_host_graph:
+            # additive host-graph fold: the batch's (src, dst) counts sum
+            # into the persisted table; the CoW merge reads only the
+            # buckets the popped hosts' src hash into (O(batch), not
+            # O(graph)). Integer addition keeps the fold bit-identical
+            # to a from-scratch recount (host_pagerank_incremental's
+            # oracle-checked invariant).
+            from crawler_spark.queries_graph import fold_edge_counts
+
+            batch_edges = normalize.to_host_edges(fetched).persist()
+            prev_edges = st.read_buckets(
+                "host_edges", st.bucket_labels("host_edges", batch_edges)
+            )
+            plans["host_edges"] = st.plan_merge(
+                "host_edges",
+                fold_edge_counts(prev_edges, batch_edges),
+                key=["src", "dst"],
+            )
         seen_plan = None
         if seen_add is not None:
             seen_plan = st.plan_merge("seen", seen_add, key="url_hash")
@@ -500,7 +526,7 @@ class CrawlScheduler:
                 raise RuntimeError(f"WAP audit rejected batch: {violations}")
             st.publish("wap")
         unpersist = [popped, fetched, cand, raw_cand, frontier_upd, pages_upd,
-                     corpus_upd, metrics_upd, feed_items]
+                     corpus_upd, metrics_upd, feed_items, batch_edges]
         if seen_plan is not None:
             unpersist.append(seen_plan.merged)
         for df in unpersist:
@@ -510,6 +536,8 @@ class CrawlScheduler:
             self.dedup_corpus()
             if self.maintain_vindex:
                 self.vindex_upkeep()
+            if self.maintain_host_graph:
+                self.host_rank_upkeep()
             st.compact("snapshots_log")
             st.gc(keep_last=3)
         return {
@@ -673,6 +701,38 @@ class CrawlScheduler:
             obs["timings"]["t_commit"] = round(_time.perf_counter() - _t0, 3)
         new_rows.unpersist()
         return stats
+
+    def host_rank_upkeep(self) -> dict:
+        """Maintenance stage for the host-graph prioritization signal:
+        recompute host_ranks (fixed-iteration PageRank,
+        queries_graph.pagerank_over_edges) from the persisted host_edges
+        table the per-batch additive fold maintains. The edge fold is
+        the O(batch) incremental part; the rank recompute is O(hosts +
+        host-edges) — the host graph is millions of rows at web scale,
+        tiny next to the corpus, so recomputing at a maintenance cadence
+        is the right trade against rank staleness. Idempotent: ranks are
+        a pure function of host_edges at HEAD, so a crash between the
+        edge commit and this one just recomputes on the next tick."""
+        from crawler_spark.queries import rdd_ids, release_rdds
+        from crawler_spark.queries_graph import pagerank_over_edges
+
+        st = self.store
+        edges = st.read("host_edges")
+        if edges.limit(1).count() == 0:
+            return {"hosts": 0, "committed": False}
+        sc = self.spark.sparkContext
+        fence = rdd_ids(sc)
+        try:
+            ranks = pagerank_over_edges(
+                edges, persist_fn=lambda df: df.persist()
+            ).select(F.col("host").alias("host_hash"), "pagerank")
+            st.commit({"host_ranks": ranks})
+            n = -1
+            if self.collect_stats:
+                n = st.read("host_ranks").count()
+            return {"hosts": int(n), "committed": True}
+        finally:
+            release_rdds(sc, rdd_ids(sc) - fence)
 
     # -- similarity-index upkeep ---------------------------------------------
 

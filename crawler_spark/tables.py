@@ -89,6 +89,11 @@ def crawl_bucket_spec(n_shards: int = 16, n_buckets: int = 16) -> dict:
         # buckets its new bands hash into
         "corpus_bands": {"mode": "hash", "key": "bh", "n": n_buckets},
         "items": {"mode": "hash", "key": "url_hash", "n": n_buckets},
+        # host link graph (opt-in): bucketed by src so a batch's additive
+        # edge fold reads only the buckets its popped hosts hash into
+        # (merge key is (src, dst); bucket key src co-locates a host's
+        # out-edges for the per-src weight normalization)
+        "host_edges": {"mode": "hash", "key": "src", "n": n_buckets},
         "metrics_daily": {"mode": "value", "key": "yyyymmdd"},
     }
 

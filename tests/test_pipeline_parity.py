@@ -470,3 +470,40 @@ def test_robots_refetch_staleness_parity(spark, tmp_path_factory):
         "refetch was behaviorally inert — pick params where a changed "
         "rule or directive binds"
     )
+
+
+def test_host_graph_parity(spark, tmp_path_factory):
+    """Loop-maintained host link graph: the per-batch additive edge fold
+    must equal the simulator's pure-Python recount exactly (integer
+    counts — bit-identity, the incremental-fold invariant), and the
+    maintenance-tick host_ranks must equal a from-scratch PageRank over
+    the folded edge table."""
+    from crawler_spark.queries import cleanup_caches
+    from crawler_spark.queries_graph import pagerank_over_edges
+
+    pa = dict(universe=500, n_seeds=16, k_per_host=4, tick_secs=6 * 3600)
+    root = str(tmp_path_factory.mktemp("hostgraph"))
+    eng = CrawlScheduler(
+        spark, root, use_sketch=True, lineage_hashes=False,
+        maintain_host_graph=True, maintenance_every=2, maintain_vindex=False,
+        **pa,
+    )
+    eng.init()
+    sim = CrawlSimulator(**pa)
+    for b in range(4):
+        assert eng.run_batch() == sim.run_batch(), f"batch {b} counters"
+    rows = eng.store.read("host_edges").collect()
+    eng_edges = {(r["src"], r["dst"]): r["w"] for r in rows}
+    assert eng_edges == sim.host_edges
+    assert eng_edges, "host graph is empty"
+    # the fold actually ACCUMULATED (same edge seen more than once)
+    assert any(w > 1 for w in eng_edges.values()), "no edge count exceeded 1"
+    ranks = {r["host_hash"]: r["pagerank"]
+             for r in eng.store.read("host_ranks").collect()}
+    expect = {
+        r["host"]: r["pagerank"]
+        for r in pagerank_over_edges(eng.store.read("host_edges")).collect()
+    }
+    cleanup_caches()
+    assert ranks == expect
+    assert ranks, "host_ranks is empty"
