@@ -291,9 +291,22 @@ class SimilarityIndex:
     ) -> int:
         """Incremental pq_codes maintenance against the FROZEN model:
         encode only the new vectors (row-local ADC encode — the codes of
-        existing rows never change), CoW-merge into their cell
-        partitions; deletes purge by vec_id. O(batch + dirty cells)."""
+        existing rows never change; the anti-join upstream guarantees
+        the batch's vec_ids are new). Pure inserts land as invlist
+        APPENDS (store bucket_append): each touched cell gains one delta
+        dir — write I/O O(batch), never O(cell) — and a cell
+        accumulating bucket_append_max_files dirs folds to one in the
+        same commit (layout-only; tests pin the appended store
+        state-hash-identical to a CoW-merged twin). Deletes still go
+        through the CoW merge (they must rewrite their cells), which
+        also collapses those cells' delta lists."""
         cents, books = self.pq_model()
+        if delete_ids is None and emb is not None:
+            rows = pq_codes_rows(emb, cents, books).persist()
+            try:
+                return self.store.commit({}, bucket_append={"pq_codes": rows})
+            finally:
+                rows.unpersist()
         dv = (
             delete_ids.select(F.col(delete_ids.columns[0]).alias("vec_id"))
             if delete_ids is not None

@@ -126,6 +126,7 @@ def run_streaming_crawl(
     )
 
     per_batch: list[dict] = []
+    tick_secs: list[float] = []  # per-tick wall (pop..commit + sidecars)
     ready_counts: dict[str, int] = {}
 
     def _on_tick(batch_df: DataFrame, epoch_id: int) -> None:
@@ -151,7 +152,9 @@ def run_streaming_crawl(
                     F.lit(None).cast("string").alias("props"),
                 )
                 _write_single_parquet(slice_df, feed_file)
+            tb = time.perf_counter()
             per_batch.append(sched.run_batch())
+            tick_secs.append(time.perf_counter() - tb)
 
     t0 = time.perf_counter()
     crawl_q = (
@@ -202,6 +205,14 @@ def run_streaming_crawl(
 
     fetched_ok = sum(x.get("fetched_ok", 0) for x in per_batch)
     popped = sum(x.get("popped", 0) for x in per_batch)
+
+    def _pct(xs: list[float], p: float) -> float:
+        """Nearest-rank percentile — the soak's long-tail evidence."""
+        if not xs:
+            return 0.0
+        s = sorted(xs)
+        return round(s[min(len(s) - 1, max(0, int(-(-p * len(s) // 100)) - 1))], 3)
+
     return {
         "n_batches": n_batches,
         "batches_run": len(per_batch),
@@ -213,4 +224,15 @@ def run_streaming_crawl(
         "ready_counts": ready_counts,
         "snapshot_id": sched.store.snapshot_id,
         "per_batch": per_batch,
+        # wall-clock observability ONLY (underscore key: parity
+        # comparisons strip these — per_batch stays semantics-only):
+        # per-tick latency distribution of the foreachBatch callback,
+        # i.e. one full pop→fetch→MERGE→commit turn incl. sidecars
+        "_observability": {
+            "tick_secs": [round(x, 3) for x in tick_secs],
+            "tick_p50_secs": _pct(tick_secs, 50),
+            "tick_p90_secs": _pct(tick_secs, 90),
+            "tick_p99_secs": _pct(tick_secs, 99),
+            "tick_max_secs": _pct(tick_secs, 100),
+        },
     }

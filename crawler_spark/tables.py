@@ -58,6 +58,14 @@ _EMPTY = "__empty__"
 _BUCKET_COL = "__bucket"
 
 
+def _bucket_paths(v) -> list[str]:
+    """A manifest bucket entry is one immutable dir (str — the CoW
+    rewrite form) or an ordered list of dirs (base + append deltas from
+    bucket_append commits). Readers union the list; a CoW merge of the
+    label collapses it back to one dir."""
+    return list(v) if isinstance(v, list) else [v]
+
+
 def crawl_bucket_spec(n_shards: int = 16, n_buckets: int = 16) -> dict:
     """The engine's copy-on-write layout: big mutable crawl tables hash-
     bucketed by their merge key; the metrics time series partitioned by
@@ -122,10 +130,18 @@ class SnapshotStore:
         files_per_table: int = 4,
         bucket_spec: dict | None = None,
         mor_delete_max_files: int = 8,
+        bucket_append_max_files: int = 8,
     ):
         self.spark = spark
         self.root = root
         self.files_per_table = files_per_table
+        # invlist-append compaction policy (FAISS invlist / Iceberg
+        # small-file compaction analog): a bucket_append commit that
+        # would push a bucket past this many delta dirs folds that
+        # bucket's existing dirs plus the batch into ONE dir in the same
+        # commit. Layout-only, like mor_delete_max_files below — read
+        # results never change, so no manifest persistence needed.
+        self.bucket_append_max_files = bucket_append_max_files
         # MoR delete-file compaction policy (Iceberg
         # rewrite_position_delete_files analog): once a table holds this
         # many pending equality-delete files, the NEXT mor_delete folds
@@ -432,7 +448,11 @@ class SnapshotStore:
                 [], self._evolved_struct(ev) if ev is not None else TABLE_SCHEMAS[table]
             )
         if "buckets" in ent:
-            paths = [os.path.join(self.root, p) for p in ent["buckets"].values()]
+            paths = [
+                os.path.join(self.root, p)
+                for v in ent["buckets"].values()
+                for p in _bucket_paths(v)
+            ]
         elif "paths" in ent:
             paths = [os.path.join(self.root, p) for p in ent["paths"]]
         else:
@@ -468,7 +488,12 @@ class SnapshotStore:
         ent = m["tables"].get(table)
         bm = dict(ent.get("buckets", {})) if ent else {}
         ev = self._schema_fields(table, m)
-        paths = [os.path.join(self.root, bm[str(b)]) for b in labels if str(b) in bm]
+        paths = [
+            os.path.join(self.root, p)
+            for b in labels
+            if str(b) in bm
+            for p in _bucket_paths(bm[str(b)])
+        ]
         if not paths:
             return self.spark.createDataFrame(
                 [], self._evolved_struct(ev) if ev is not None else TABLE_SCHEMAS[table]
@@ -545,7 +570,12 @@ class SnapshotStore:
         m = self.current_manifest()
         bm = self._bucket_map(plan.table)
         dirty = set(plan.dirty)
-        paths = [os.path.join(self.root, p) for lbl, p in bm.items() if lbl not in dirty]
+        paths = [
+            os.path.join(self.root, p)
+            for lbl, v in bm.items()
+            if lbl not in dirty
+            for p in _bucket_paths(v)
+        ]
         schema = self.table_schema(plan.table)
         cols = [f.name for f in schema.fields]
         evolved = self._schema_fields(plan.table, m) is not None
@@ -776,12 +806,16 @@ class SnapshotStore:
                 out[label] = stats
         return out
 
-    def _write_buckets(self, name: str, df: DataFrame, sid: int, n_tasks: int) -> tuple[dict[str, str], dict]:
+    def _write_buckets(
+        self, name: str, df: DataFrame, sid: int, n_tasks: int, suffix: str = ""
+    ) -> tuple[dict[str, str], dict]:
         """Write rows hive-partitioned by bucket label under one snap dir;
         return ({label: rel_dir}, {label: column stats}) for the dirs
         actually produced (an empty bucket writes nothing and simply
-        drops out of the map)."""
-        rel = os.path.join("data", name, f"snap-{sid:08d}")
+        drops out of the map). `suffix` disambiguates multiple bucket
+        writes of one table in one commit (bucket_append's delta + fold
+        jobs)."""
+        rel = os.path.join("data", name, f"snap-{sid:08d}{suffix}")
         full = os.path.join(self.root, rel)
         # canonical column order in the files: joins move key columns to
         # the front of a DataFrame, and a drifting file order would make
@@ -819,6 +853,7 @@ class SnapshotStore:
         partition_by: dict[str, list[str]] | None = None,
         append: dict[str, DataFrame] | None = None,
         merge: dict[str, MergePlan] | None = None,
+        bucket_append: dict[str, DataFrame] | None = None,
         branch: str | None = None,
         schemas: dict[str, list[dict]] | None = None,
         _mor_delete: dict[str, DataFrame] | None = None,
@@ -839,7 +874,15 @@ class SnapshotStore:
         by reference. This is the per-batch hot path — commit I/O is
         O(changed rows' buckets), not O(table).
 
-        A table may appear in at most one of changed/append/merge.
+        `bucket_append` maps table -> NEW rows (keys disjoint from the
+        table — the caller's contract): each touched bucket gains one
+        delta dir instead of being rewritten, so commit write I/O is
+        O(batch) even for huge buckets (the invlist-insert hot path);
+        buckets exceeding bucket_append_max_files dirs fold to one dir
+        in the same commit, layout-only.
+
+        A table may appear in at most one of changed/append/merge/
+        bucket_append.
 
         `branch` stages the commit on a named branch (Iceberg WAP): the
         manifest is written and time-travel readable by its sid, but
@@ -872,6 +915,9 @@ class SnapshotStore:
         overlap |= set(changed) & set(merge)
         overlap |= set(_mor_delete or {}) & (
             set(changed) | set(merge) | set(append or {})
+        )
+        overlap |= set(bucket_append or {}) & (
+            set(changed) | set(merge) | set(append or {}) | set(_mor_delete or {})
         )
         if overlap:
             raise ValueError(f"tables in multiple commit modes: {sorted(overlap)}")
@@ -965,6 +1011,86 @@ class SnapshotStore:
         for name, ent in results:
             if ent is not None:
                 tables[name] = ent
+        for name, df in (bucket_append or {}).items():
+            # invlist append: the batch's rows land as one DELTA dir per
+            # touched bucket — commit write I/O is O(batch), never
+            # O(bucket) like a CoW merge rewrite. Readers union a
+            # bucket's dir list; a bucket about to exceed
+            # bucket_append_max_files dirs is FOLDED (its existing dirs
+            # + the batch consolidated into one dir) in the same commit
+            # — layout-only, results identical. The caller guarantees
+            # batch keys are NEW (an append cannot replace a row; the
+            # key-disjointness contract every invlist insert has).
+            if name not in self.bucket_spec:
+                raise KeyError(f"bucket_append on unbucketed table {name!r}")
+            ent = dict(tables.get(name) or {"buckets": {}})
+            if "buckets" not in ent:
+                raise ValueError(
+                    f"bucket_append target {name!r} was written unbucketed"
+                )
+            if ent.get("deletes"):
+                # a fold would bake pending MoR deletes into consolidated
+                # dirs while the delete files keep applying — resolve
+                # them via a CoW merge first
+                raise ValueError(
+                    f"bucket_append on {name!r} with pending merge-on-read "
+                    "deletes; retire them (CoW merge) first"
+                )
+            batch_labels = self.bucket_labels(name, df)
+            if not batch_labels:
+                continue
+            bm = {k: _bucket_paths(v) for k, v in ent["buckets"].items()}
+            stats = dict(ent.get("stats", {}))
+            overfull = sorted(
+                lbl for lbl in batch_labels
+                if len(bm.get(lbl, [])) + 1 > self.bucket_append_max_files
+            )
+            bexpr = self._bucket_expr(name)
+            delta = df.filter(~bexpr.isin(overfull)) if overfull else df
+            written = self._write_buckets(
+                name, delta, sid, len(batch_labels), suffix="-ba"
+            )[0]
+            for lbl, p in written.items():
+                bm.setdefault(lbl, []).append(p)
+            if overfull:
+                # read the overfull buckets' dirs straight from the prev
+                # manifest's paths (branch-correct, like the MoR fold)
+                old_paths = sorted(
+                    os.path.join(self.root, p)
+                    for lbl in overfull
+                    for p in bm.get(lbl, [])
+                )
+                fold_new = df.filter(bexpr.isin(overfull)).select(
+                    *self._write_projection(name)
+                )
+                if old_paths:
+                    reader = self.spark.read
+                    ev = self._schema_fields(name, prev)
+                    if ev is not None:
+                        reader = reader.schema(self._evolved_struct(ev))
+                    folded = self._reconcile(
+                        reader.parquet(*old_paths), name, prev
+                    ).select(*self._write_projection(name)).unionByName(fold_new)
+                else:
+                    folded = fold_new
+                fwritten = self._write_buckets(
+                    name, folded, sid, len(overfull), suffix="-bf"
+                )[0]
+                for lbl in overfull:
+                    bm[lbl] = [fwritten[lbl]]
+            # appended/folded buckets' manifest stats are stale (the new
+            # rows may widen min/max) — drop them; unknown stats are
+            # always kept by pruned_labels, so this is correctness-safe
+            for lbl in set(batch_labels):
+                stats.pop(lbl, None)
+            ent["buckets"] = {
+                lbl: (v[0] if len(v) == 1 else v) for lbl, v in bm.items()
+            }
+            if stats:
+                ent["stats"] = stats
+            else:
+                ent.pop("stats", None)
+            tables[name] = ent
         for name, df in (append or {}).items():
             if name in changed:
                 raise ValueError(f"table {name!r} in both changed and append")
@@ -1119,7 +1245,8 @@ class SnapshotStore:
                 if "paths" in ent:
                     referenced.update(ent["paths"])
                 elif "buckets" in ent:
-                    referenced.update(ent["buckets"].values())
+                    for v in ent["buckets"].values():
+                        referenced.update(_bucket_paths(v))
                 elif ent.get("path", _EMPTY) != _EMPTY:
                     referenced.add(ent["path"])
         removed_dirs = 0

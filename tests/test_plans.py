@@ -203,3 +203,66 @@ def test_batch_ann_plan_shape():
     assert "WindowGroupLimit" in p
     assert "BroadcastNestedLoop" not in p
     assert "EvalPython" not in p
+
+
+def _walk_exec(node, out):
+    """Flatten an executed plan (AQE wrappers unwrapped) into
+    (nodeName, {metric: value}) tuples."""
+    name = node.nodeName()
+    mets = {}
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        mets[kv._1()] = kv._2().value()
+    out.append((name, mets))
+    if name == "AdaptiveSparkPlan":
+        _walk_exec(node.executedPlan(), out)
+        return
+    if "QueryStage" in name:
+        _walk_exec(node.plan(), out)
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk_exec(ch.apply(i), out)
+
+
+def test_discovery_hot_host_skew_bounded_by_partial_agg():
+    """Discovery-shuffle skew audit: one hot host emitting 1e5 outlinks
+    concentrated on 16 targets goes through the REAL
+    normalize.discover_candidates. The min-depth-per-URL agg must
+    combine map-side (partial_min before the Exchange), so the rows
+    crossing the shuffle are O(distinct targets x tasks), never
+    O(outlinks) — the property that keeps one boilerplate-link host
+    from concentrating 1e5-row partitions at web scale. Asserted from
+    the EXECUTED plan's metrics, not hoped for."""
+    from crawler_spark import synth
+    from crawler_spark.operators.normalize import discover_candidates
+
+    spark = _spark()
+    n_links, n_targets = 100_000, 16
+    targets = [synth.url_of_index(i) for i in range(n_targets)]
+    hot = spark.createDataFrame(
+        [(200, 0, [targets[i % n_targets] for i in range(n_links)])],
+        "status int, depth int, outlinks array<string>",
+    )
+    cand = discover_candidates(hot, universe=600).select("url", "depth", "url_hash")
+    rows = cand.collect()
+    # correctness under skew: one candidate per distinct target, depth 1
+    assert len(rows) == n_targets
+    assert all(r["depth"] == 1 for r in rows)
+    p = plan_str(cand)
+    assert "partial_min" in p, "min-depth agg lost its map-side combine"
+    nodes = []
+    _walk_exec(cand._jdf.queryExecution().executedPlan(), nodes)
+    exploded = max(
+        (m.get("numOutputRows", 0) for n, m in nodes if n == "Generate"),
+        default=0,
+    )
+    assert exploded >= n_links, f"explode produced {exploded} rows"
+    shuffled = [
+        m["recordsRead"] for n, m in nodes if n == "Exchange" and "recordsRead" in m
+    ]
+    assert shuffled, "no exchange metrics found"
+    # every shuffle in the discovery plan is bounded by targets x tasks
+    # (64 is generous: 32 cores x 2), nowhere near the 1e5 exploded rows
+    assert max(shuffled) <= n_targets * 64, f"skew crossed the wire: {shuffled}"

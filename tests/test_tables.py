@@ -451,3 +451,96 @@ def test_branch_scoped_read(store, spark):
         store.read("politeness", snapshot_id=1, branch="audit")
     store.publish("audit")
     assert store.read("politeness").count() == 2
+
+
+# -- bucket_append (invlist delta dirs + threshold fold) ---------------------
+
+
+def test_bucket_append_delta_dirs_and_read_union(cow_store, spark):
+    """An appended bucket gains a DELTA dir (no rewrite); readers union
+    the dir list; untouched buckets keep the legacy single-dir form."""
+    cow_store.commit({"blacklist": _bl(spark, range(8))})
+    cow_store.commit({}, bucket_append={"blacklist": _bl(spark, [8, 9])})
+    bm = cow_store._bucket_map("blacklist")
+    assert isinstance(bm["0"], list) and len(bm["0"]) == 2  # 8 -> bucket 0
+    assert bm["0"][0].endswith("snap-00000001/__bucket=0")
+    assert bm["0"][1].endswith("snap-00000002-ba/__bucket=0")
+    assert isinstance(bm["2"], str), "untouched bucket changed form"
+    assert sorted(r["url_hash"] for r in cow_store.read("blacklist").collect()) == list(range(10))
+    assert sorted(
+        r["url_hash"] for r in cow_store.read_buckets("blacklist", ["0"]).collect()
+    ) == [0, 4, 8]
+    # time travel still sees the pre-append state
+    assert sorted(
+        r["url_hash"] for r in cow_store.read("blacklist", snapshot_id=1).collect()
+    ) == list(range(8))
+
+
+def test_bucket_append_fold_is_layout_only(spark, tmp_path):
+    """Twin-store equivalence: a store doing invlist appends (cap 3, so
+    the 3rd append FOLDS bucket 0) stays state-hash-identical to a twin
+    doing CoW merges at every step, and its per-bucket dir count never
+    exceeds the cap."""
+    from crawler_spark.tables import _bucket_paths
+
+    st = SnapshotStore(
+        spark, str(tmp_path / "ba"), bucket_spec=SPEC4, bucket_append_max_files=3
+    )
+    twin = SnapshotStore(spark, str(tmp_path / "tw"), bucket_spec=SPEC4)
+    st.commit({"blacklist": _bl(spark, [0])})
+    twin.commit({"blacklist": _bl(spark, [0])})
+    folded_seen = False
+    for k in (4, 8, 12, 16):  # all hash to bucket 0
+        st.commit({}, bucket_append={"blacklist": _bl(spark, [k])})
+        plan = twin.plan_merge("blacklist", upsert=_bl(spark, [k]), key="url_hash")
+        twin.commit({}, merge={"blacklist": plan})
+        assert table_state_hash(st.read("blacklist")) == table_state_hash(
+            twin.read("blacklist")
+        )
+        paths = _bucket_paths(st._bucket_map("blacklist")["0"])
+        assert len(paths) <= 3, "fold failed to bound the dir count"
+        if any("-bf/" in p for p in paths):
+            folded_seen = True
+    assert folded_seen, "the fold never fired"
+    # a later CoW merge of the bucket collapses the list back to one dir
+    plan = st.plan_merge("blacklist", upsert=_bl(spark, [20]), key="url_hash")
+    st.commit({}, merge={"blacklist": plan})
+    assert isinstance(st._bucket_map("blacklist")["0"], str)
+    assert sorted(r["url_hash"] for r in st.read("blacklist").collect()) == [
+        0, 4, 8, 12, 16, 20,
+    ]
+
+
+def test_bucket_append_drops_stale_stats(spark, tmp_path):
+    """Appending rows outside a bucket's recorded min/max must not let
+    manifest-stats pruning hide them: the appended bucket's stats are
+    dropped (unknown stats are always kept)."""
+    spec = {"blacklist": {"mode": "hash", "key": "url_hash", "n": 4,
+                          "stats": ["url_hash"]}}
+    st = SnapshotStore(spark, str(tmp_path / "bas"), bucket_spec=spec)
+    st.commit({"blacklist": _bl(spark, [0, 4])})  # bucket 0, max url_hash 4
+    st.commit({}, bucket_append={"blacklist": _bl(spark, [8])})
+    got = sorted(r["url_hash"] for r in st.read_where("blacklist", "url_hash", lo=6).collect())
+    assert got == [8]
+
+
+def test_bucket_append_refuses_pending_mor_deletes(cow_store, spark):
+    """A fold would bake pending equality-deletes into consolidated dirs
+    while the delete files keep applying — refuse instead."""
+    cow_store.commit({"blacklist": _bl(spark, range(8))})
+    cow_store.mor_delete("blacklist", _bl(spark, [2]))
+    with pytest.raises(ValueError, match="merge-on-read"):
+        cow_store.commit({}, bucket_append={"blacklist": _bl(spark, [9])})
+
+
+def test_bucket_append_gc_reclaims_superseded_deltas(spark, tmp_path):
+    """After a fold, expired manifests release the folded delta dirs;
+    the surviving snapshot still reads complete content."""
+    st = SnapshotStore(
+        spark, str(tmp_path / "bagc"), bucket_spec=SPEC4, bucket_append_max_files=2
+    )
+    st.commit({"blacklist": _bl(spark, [0])})
+    for k in (4, 8, 12):  # second append folds; third starts a new delta
+        st.commit({}, bucket_append={"blacklist": _bl(spark, [k])})
+    st.gc(keep_last=1)
+    assert sorted(r["url_hash"] for r in st.read("blacklist").collect()) == [0, 4, 8, 12]

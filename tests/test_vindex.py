@@ -625,3 +625,45 @@ def test_apply_pq_codes_rewrites_only_changed_cells(spark, tmp_path_factory):
     ch = st.diff("pq_codes", "vec_id", sid0, st.snapshot_id)
     touched = {r["vec_id"] for r in ch.select("vec_id").distinct().collect()}
     assert touched == {a, b}
+
+
+def test_pq_append_invlists_match_cow_twin_and_bound_files(spark, tmp_path_factory):
+    """pq_codes invlist appends: incremental upsert_pq lands each batch
+    as per-cell DELTA dirs (write O(batch), not O(cell)), folding a cell
+    back to one dir at the bucket_append_max_files cap. Layout-only by
+    contract: after every batch the appended store's pq_codes must be
+    state-hash-identical to a twin maintained with CoW merges, and no
+    cell may ever hold more dirs than the cap."""
+    from crawler_spark.operators.vindex import pq_codes_rows
+    from crawler_spark.tables import _bucket_paths, table_state_hash
+
+    emb = _emb(spark)
+    a = SimilarityIndex(spark, str(tmp_path_factory.mktemp("vx_ba")))
+    b = SimilarityIndex(spark, str(tmp_path_factory.mktemp("vx_batwin")))
+    a.store.bucket_append_max_files = 2
+    first = emb.filter(F.col("vec_id") % 4 == 0)
+    assert a.ensure_pq_model(first) and b.ensure_pq_model(first)
+    folded_seen = False
+    for chunk in (1, 2, 3):
+        part = emb.filter(F.col("vec_id") % 4 == chunk)
+        a.upsert_pq(emb=part)
+        cents, books = b.pq_model()
+        plan = b.store.plan_merge(
+            "pq_codes", upsert=pq_codes_rows(part, cents, books), key="vec_id"
+        )
+        b.store.commit({}, merge={"pq_codes": plan})
+        assert table_state_hash(a.store.read("pq_codes")) == table_state_hash(
+            b.store.read("pq_codes")
+        ), f"chunk {chunk} diverged"
+        bm = a.store._bucket_map("pq_codes")
+        lens = {lbl: len(_bucket_paths(v)) for lbl, v in bm.items()}
+        assert max(lens.values()) <= 2, f"cap violated: {lens}"
+        if any(
+            "-bf/" in p for v in bm.values() for p in _bucket_paths(v)
+        ):
+            folded_seen = True
+    assert folded_seen, "no cell ever folded"
+    # probes over the appended store still read only their cell's files
+    cell = sorted(int(lbl) for lbl in a.store._bucket_map("pq_codes"))[0]
+    files = a.pq_partition(cell).inputFiles()
+    assert files and all(f"__bucket={cell}/" in f for f in files)
