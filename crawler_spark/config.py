@@ -55,6 +55,13 @@ class CrawlConfig:
     # fold each batch's outlink host edges into the persisted host_edges
     # table and recompute host_ranks (PageRank) at maintenance ticks
     maintain_host_graph: bool = False
+    # seen rows are new-by-construction: land them as per-shard delta
+    # files (invlist append) instead of rewriting dirty shards
+    seen_append: bool = True
+    # top-decile host_ranks hosts get a doubled pop cap (requires
+    # maintain_host_graph + maintenance_every; binds after the first
+    # maintenance tick commits ranks)
+    rank_pop_boost: bool = False
     maintenance_every: int = 0  # 0 = off; else compact+gc every N batches
     # maintain the similarity-index sidecar (<root>/vindex) in the same
     # maintenance tick as corpus dedup

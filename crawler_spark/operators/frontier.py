@@ -55,6 +55,8 @@ def pop(
     host_budget: DataFrame | None = None,
     global_k: int | None = None,
     adaptive: bool = False,
+    boost_hosts: DataFrame | None = None,
+    boost_factor: int = 2,
 ) -> DataFrame:
     """Pop the next batch: per-host rank by (priority, next_fetch_ts,
     url_hash) and take at most min(cap, host's remaining politeness
@@ -77,6 +79,13 @@ def pop(
     (host, count) aggregate over the same ready slice — one tiny extra
     shuffle, broadcast back like the budget. Mirrored EXACTLY in
     simulator._pop (pop-order parity contract).
+
+    `boost_hosts` is a (host_hash) set of link-authority hosts (the
+    scheduler passes the top decile of the loop-maintained host_ranks):
+    their base/adaptive cap is multiplied by `boost_factor` — high-
+    authority hosts drain faster, the crawl-prioritization signal the
+    host PageRank exists for. The politeness budget STILL bounds the
+    boosted cap. Mirrored exactly in simulator._pop.
     """
     r = ready(frontier, as_of_ts)
     w = Window.partitionBy("host_hash").orderBy(
@@ -87,7 +96,9 @@ def pop(
     # pruning BEFORE the window shuffle (the window analogue of partial
     # aggregation) — without it every ready row is shuffled and sorted.
     # The per-host caps (columns, always <= the literal) are applied after.
-    lit_cap = k_per_host * (ADAPTIVE_MAX_DIGITS if adaptive else 1)
+    lit_cap = k_per_host * (ADAPTIVE_MAX_DIGITS if adaptive else 1) * (
+        boost_factor if boost_hosts is not None else 1
+    )
     ranked = r.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= F.lit(lit_cap)
     )
@@ -96,10 +107,16 @@ def pop(
         depth = r.groupBy("host_hash").agg(F.count(F.lit(1)).alias("__depth"))
         ranked = ranked.join(F.broadcast(depth), "host_hash")
         cap = F.lit(k_per_host) * F.length(F.col("__depth").cast("string"))
+    if boost_hosts is not None:
+        bset = boost_hosts.select("host_hash").withColumn("__boost", F.lit(True))
+        ranked = ranked.join(F.broadcast(bset), "host_hash", "left")
+        cap = cap * F.when(F.col("__boost"), F.lit(boost_factor)).otherwise(F.lit(1))
     if host_budget is not None:
         ranked = ranked.join(F.broadcast(host_budget), "host_hash", "left")
         cap = F.least(cap, F.coalesce(F.col("budget"), F.lit(0)))
-    popped = ranked.filter(F.col("__rn") <= cap).drop("__rn", "budget", "__depth")
+    popped = ranked.filter(F.col("__rn") <= cap).drop(
+        "__rn", "budget", "__depth", "__boost"
+    )
     if global_k is not None:
         popped = popped.orderBy(*[F.col(c).asc() for c in POP_ORDER]).limit(global_k)
     return popped

@@ -1800,14 +1800,10 @@ def residual_dist_frame(emb, cents, books, cell=None):
     )
 
 
-@register("knn_ivfpq_residual_topk", _PQR_SQL)
-def q_knn_ivfpq_residual_topk(spark, sf_dir):
-    """Trained-IVF cell prune + residual-PQ ADC rescore (the full FAISS
-    IVFPQ scheme): candidates sharing the query's trained coarse cell
-    are scored from their RESIDUAL subspace codes against the query's
-    residual distance table — query and candidates expressed against the
-    same cell origin, so the LUT is exact w.r.t. the probed cell. All
-    JVM-side array math; same rank/tiebreak contract as knn_ivfpq_topk."""
+def _pqr_adc_scored(spark, sf_dir):
+    """The residual-IVFPQ ADC-scored candidate frame (vec_id, adc_dist)
+    for the query's trained coarse cell — pre-limit, the ONE composition
+    shared by knn_ivfpq_residual_topk and the refine query."""
     emb = _t(spark, sf_dir, "embeddings")
     books = trained_residual_codebooks(spark, sf_dir)
     cents = trained_coarse_centroids(spark, sf_dir)
@@ -1830,7 +1826,81 @@ def q_knn_ivfpq_residual_topk(spark, sf_dir):
         codes.crossJoin(F.broadcast(q))
         .filter((F.col("cell") == F.col("qc")) & (F.col("vec_id") != 0))
         .select("vec_id", F.round(adc + F.lit(1e-9), 4).alias("adc_dist"))
+    )
+
+
+@register("knn_ivfpq_residual_topk", _PQR_SQL)
+def q_knn_ivfpq_residual_topk(spark, sf_dir):
+    """Trained-IVF cell prune + residual-PQ ADC rescore (the full FAISS
+    IVFPQ scheme): candidates sharing the query's trained coarse cell
+    are scored from their RESIDUAL subspace codes against the query's
+    residual distance table — query and candidates expressed against the
+    same cell origin, so the LUT is exact w.r.t. the probed cell. All
+    JVM-side array math; same rank/tiebreak contract as knn_ivfpq_topk."""
+    return (
+        _pqr_adc_scored(spark, sf_dir)
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+_PQR_REFINE_SQL = """
+    WITH {train},
+    {dist},
+    qc AS (SELECT cell FROM kaf WHERE vec_id = 0),
+    cand AS (
+      SELECT c.vec_id
+      FROM pcodes c
+      JOIN kaf l ON l.vec_id = c.vec_id, pq, qc
+      WHERE l.cell = qc.cell AND c.vec_id != 0
+      ORDER BY round(1e-9 + {adc}, 4) ASC, c.vec_id ASC
+      LIMIT 20
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT cand.vec_id,
+           round(1e-9 + list_sum(list_transform(list_zip(e.embedding, qv.q),
+                 p -> (p[1]::DOUBLE - p[2]::DOUBLE)
+                    * (p[1]::DOUBLE - p[2]::DOUBLE))), 4) AS l2_dist
+    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, qv
+    ORDER BY l2_dist ASC, cand.vec_id ASC
+    LIMIT 5
+""".format(train=_PQR_TRAIN_CTES.strip(), dist=_pqr_dist_ctes.strip(),
+           adc=_pq_trained_adc_sql)
+
+
+@register("knn_ivfpq_refined_topk", _PQR_REFINE_SQL)
+def q_knn_ivfpq_refined_topk(spark, sf_dir):
+    """ADC shortlist + EXACT re-rank (FAISS IndexRefineFlat): the
+    residual-IVFPQ ADC scorer produces a deterministic top-20 shortlist
+    (adc order, vec_id tiebreak), which joins back to the raw embedding
+    column for an exact L2 distance to the query; the final top-5 ranks
+    on the exact distance. Quantization error affects only WHICH 20
+    candidates are shortlisted, never their final ordering — the
+    standard accuracy/IO trade: the exact pass touches 20 vectors, not
+    the invlist. Shortlist join is a 20-row broadcast; everything stays
+    JVM-side array math."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = (
+        _pqr_adc_scored(spark, sf_dir)
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(20)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    def dsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    l2 = dsum(F.zip_with(
+        "embedding", "qv",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    ))
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(l2 + F.lit(1e-9), 4).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col("vec_id").asc())
         .limit(5)
     )
 

@@ -40,6 +40,32 @@ def pacific_day(epoch: int) -> int:
     )
 
 
+def pagerank_py(edges: dict[tuple[int, int], int], iters: int = 5, d: float = 0.85) -> dict[int, float]:
+    """Pure-Python twin of queries_graph.pagerank_over_edges: same
+    uniform init, self-loop drop, IEEE int/int out-weight division,
+    per-iteration round(x + 1e-12, 9) and final round(r + 1e-9, 6) —
+    the rounding discipline that makes sum-order differences between
+    engines unobservable (the same contract the DuckDB oracle relies
+    on)."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    nn = len(nodes)
+    if nn == 0:
+        return {}
+    out: dict[int, int] = {}
+    for (s, t), w in edges.items():
+        if s != t:
+            out[s] = out.get(s, 0) + w
+    wn = {(s, t): w / out[s] for (s, t), w in edges.items() if s != t}
+    r = {h: 1.0 / nn for h in nodes}
+    for _ in range(iters):
+        contrib: dict[int, float] = {}
+        for (s, t), x in wn.items():
+            contrib[t] = contrib.get(t, 0.0) + r[s] * x
+        r = {h: round((1.0 - d) / nn + d * contrib.get(h, 0.0) + 1e-12, 9)
+             for h in nodes}
+    return {h: round(r[h] + 1e-9, 6) for h in nodes}
+
+
 class CrawlSimulator:
     def __init__(
         self,
@@ -53,6 +79,8 @@ class CrawlSimulator:
         adaptive_pop_caps: bool = False,
         robots_ttl_secs: int = 0,
         robots_change_period_secs: int = 0,
+        maintenance_every: int = 0,
+        rank_pop_boost: bool = False,
     ):
         self.universe = universe
         self.k_per_host = k_per_host
@@ -111,6 +139,14 @@ class CrawlSimulator:
         # accumulated (pure-Python, cheap); the engine folds it only
         # when maintain_host_graph is on — parity tests compare then.
         self.host_edges: dict[tuple[int, int], int] = {}
+        # rank-boosted pops (mirrors scheduler._rank_boost_hosts +
+        # host_rank_upkeep): ranks recompute from host_edges at the same
+        # maintenance cadence as the engine, with the SAME per-iteration
+        # 9 dp rounding (pagerank_py twins pagerank_over_edges), and the
+        # top decile (rank desc, host_hash asc) doubles its pop cap
+        self.maintenance_every = maintenance_every
+        self.rank_pop_boost = rank_pop_boost
+        self._boosted: set[int] = set()
         # corpus: image_id -> dict(caption, phash, fmt, w, h, bytes)
         self.corpus: dict[str, dict] = {}
         # pages: url_hash -> normalized page row (the `channels` document)
@@ -166,6 +202,9 @@ class CrawlSimulator:
             base_cap = self.k_per_host * (
                 len(str(depth_per_host[hh])) if self.adaptive_pop_caps else 1
             )
+            # link-authority boost (mirrors frontier.pop boost_hosts)
+            if hh in self._boosted:
+                base_cap *= 2
             cap = min(base_cap, budget, rate_cap)
             if taken_per_host.get(hh, 0) < cap:
                 taken_per_host[hh] = taken_per_host.get(hh, 0) + 1
@@ -339,6 +378,16 @@ class CrawlSimulator:
                     self.sitemaps[hh] = d["sitemap_urls"]
                 self.robots_fetched[hh] = as_of
                 self.robots_version[hh] = ver
+
+        # rank refresh on the maintenance cadence (mirrors
+        # host_rank_upkeep: ranks derive from the edges folded THROUGH
+        # this batch and bind from the next pop)
+        if (self.rank_pop_boost and self.maintenance_every
+                and (self.batch_id + 1) % self.maintenance_every == 0):
+            ranks = pagerank_py(self.host_edges)
+            kk = max(1, len(ranks) // 10)
+            order = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))
+            self._boosted = {h for h, _ in order[:kk]}
 
         self.batch_id += 1
         return {

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark import synth
@@ -70,7 +70,9 @@ class CrawlScheduler:
         recrawl_interval_secs: int = 0,
         robots_ttl_secs: int = 0,
         robots_change_period_secs: int = 0,
+        seen_append: bool = True,
         maintain_host_graph: bool = False,
+        rank_pop_boost: bool = False,
         maintenance_every: int | None = None,
         full_dedup_every: int = 4,
         maintain_vindex: bool = True,
@@ -143,6 +145,22 @@ class CrawlScheduler:
         # folded edges at maintenance ticks — the crawl-prioritization
         # signal (queries_graph.pagerank_over_edges)
         self.maintain_host_graph = maintain_host_graph
+        # consume the PageRank signal in the pop: hosts in the top
+        # decile of host_ranks (rank desc, host_hash asc tiebreak) get
+        # their per-host cap DOUBLED — link-authority hosts drain
+        # faster, still politeness-bounded. Requires maintain_host_graph
+        # + a maintenance cadence (ranks refresh at maintenance ticks
+        # and bind from the next batch). Mirrored in simulator._pop via
+        # the pure-Python PageRank twin (same per-iteration rounding).
+        self.rank_pop_boost = rank_pop_boost
+        # seen rows are NEW by construction (filter_unseen + the
+        # frontier⊆seen invariant), so the batch can land as invlist
+        # delta files (store bucket_append) instead of rewriting every
+        # dirty shard: write I/O O(batch), not O(dirty shard content) —
+        # at 10^10 seen rows the difference between appending KBs and
+        # rewriting GBs per batch. The fold cap bounds per-shard file
+        # counts; a twin test pins append == CoW-merge bit-identity.
+        self.seen_append = seen_append
         # every N batches: compact the append log + expire old snapshots
         # (semantics-free maintenance; keeps file counts and store size
         # bounded over long crawls)
@@ -239,6 +257,25 @@ class CrawlScheduler:
         ghash = format(sum(sums.values()) & ((1 << 64) - 1), "016x")
         return ghash, sums
 
+    def _rank_boost_hosts(self):
+        """Top-decile host_ranks (host_hash) for the pop's cap boost —
+        rank desc, host_hash asc tiebreak over the O(hosts) dim. None
+        when the feature is off or no ranks have been committed yet
+        (first maintenance tick pending)."""
+        if not self.rank_pop_boost:
+            return None
+        ranks = self.store.read("host_ranks")
+        n = ranks.count()
+        if n == 0:
+            return None
+        kk = max(1, n // 10)
+        wq = Window.orderBy(F.col("pagerank").desc(), F.col("host_hash").asc())
+        return (
+            ranks.withColumn("__r", F.row_number().over(wq))
+            .filter(F.col("__r") <= kk)
+            .select("host_hash")
+        )
+
     def run_batch(self) -> dict:
         st = self.store
         props = st.properties()
@@ -288,7 +325,9 @@ class CrawlScheduler:
             politeness.apply_crawl_delay(polite, robots_tbl), as_of, self.tick_secs
         )
         popped = frontier_op.pop(
-            pop_src, as_of, self.k_per_host, budget, adaptive=self.adaptive_pop_caps
+            pop_src, as_of, self.k_per_host, budget,
+            adaptive=self.adaptive_pop_caps,
+            boost_hosts=self._rank_boost_hosts(),
         ).persist()
         n_popped = popped.count()
         if n_popped == 0:
@@ -467,16 +506,31 @@ class CrawlScheduler:
                 key=["src", "dst"],
             )
         seen_plan = None
+        seen_merged = None  # full post-commit rows of the dirty shards
+        seen_append_rows = None
         if seen_add is not None:
-            seen_plan = st.plan_merge("seen", seen_add, key="url_hash")
-            seen_plan.merged = seen_plan.merged.persist()
-            plans["seen"] = seen_plan
+            if self.seen_append:
+                # invlist path: the batch's (new-by-construction) rows
+                # land as one delta file per dirty shard; the sketch
+                # rebuild and lineage hashes still need the shards' FULL
+                # post-commit content, read from the current slice + the
+                # batch (same bytes the CoW plan would have produced)
+                seen_append_rows = seen_add.persist()
+                if self.use_sketch or self.lineage_hashes:
+                    seen_merged = st.read_buckets(
+                        "seen", st.bucket_labels("seen", seen_append_rows)
+                    ).unionByName(seen_append_rows).persist()
+            else:
+                seen_plan = st.plan_merge("seen", seen_add, key="url_hash")
+                seen_plan.merged = seen_plan.merged.persist()
+                plans["seen"] = seen_plan
+                seen_merged = seen_plan.merged
             if self.use_sketch:
                 # rebuild only the dirty shards, reading the very rows the
-                # CoW commit is about to write (seen buckets == shards)
+                # commit is about to write (seen buckets == shards)
                 changed["seen_sketch"] = seen.update_sketches(
                     sketches,
-                    seen_plan.merged,
+                    seen_merged,
                     self.n_shards,
                     snapshot_id=st.snapshot_id + 1,
                 )
@@ -493,9 +547,9 @@ class CrawlScheduler:
             wm_props["frontier_bucket_hashes"] = fr_bucket_sums
             rows.append((sid_next, batch_id, as_of, "frontier",
                          fr_hash, n_ok, n_err, as_of))
-            if seen_plan is not None:
+            if seen_merged is not None:
                 shard_hashes = (
-                    seen_plan.merged.groupBy("shard_id")
+                    seen_merged.groupBy("shard_id")
                     .agg(F.sum(F.xxhash64("url_hash", "verdict").cast("decimal(38,0)")).alias("h"))
                     .collect()
                 )
@@ -517,6 +571,9 @@ class CrawlScheduler:
             # lineage log is grow-only: append the batch row as a delta
             # file (O(1) per commit) instead of rewriting the whole log
             append={"snapshots_log": log_row},
+            bucket_append=(
+                {"seen": seen_append_rows} if seen_append_rows is not None else None
+            ),
             branch="wap" if self.wap_audit else None,
         )
         if self.wap_audit:
@@ -526,9 +583,8 @@ class CrawlScheduler:
                 raise RuntimeError(f"WAP audit rejected batch: {violations}")
             st.publish("wap")
         unpersist = [popped, fetched, cand, raw_cand, frontier_upd, pages_upd,
-                     corpus_upd, metrics_upd, feed_items, batch_edges]
-        if seen_plan is not None:
-            unpersist.append(seen_plan.merged)
+                     corpus_upd, metrics_upd, feed_items, batch_edges,
+                     seen_merged, seen_append_rows]
         for df in unpersist:
             if df is not None:
                 df.unpersist()
@@ -1035,7 +1091,9 @@ class CrawlScheduler:
             self.tick_secs,
         )
         popped = frontier_op.pop(
-            frontier, as_of, self.k_per_host, budget, adaptive=self.adaptive_pop_caps
+            frontier, as_of, self.k_per_host, budget,
+            adaptive=self.adaptive_pop_caps,
+            boost_hosts=self._rank_boost_hosts(),
         )
         rows = popped.orderBy(*[F.col(c).asc() for c in frontier_op.POP_ORDER]).select(
             "url_hash"

@@ -507,3 +507,103 @@ def test_host_graph_parity(spark, tmp_path_factory):
     cleanup_caches()
     assert ranks == expect
     assert ranks, "host_ranks is empty"
+
+
+def test_seen_append_equals_cow_merge_twin(spark, tmp_path_factory):
+    """The seen table's invlist-append path (default) must be
+    bit-identical to a twin scheduler using CoW shard rewrites: every
+    table including the sketches and the per-shard lineage hashes, with
+    the append store actually holding delta files bounded by the fold
+    cap."""
+    from crawler_spark.tables import _bucket_paths
+
+    pa = dict(universe=500, n_seeds=16, k_per_host=4, tick_secs=6 * 3600)
+    ra = str(tmp_path_factory.mktemp("seen_ba"))
+    rb = str(tmp_path_factory.mktemp("seen_cow"))
+    a = CrawlScheduler(spark, ra, use_sketch=True, lineage_hashes=True,
+                       seen_append=True, **pa)
+    b = CrawlScheduler(spark, rb, use_sketch=True, lineage_hashes=True,
+                       seen_append=False, **pa)
+    a.init()
+    b.init()
+    a.store.bucket_append_max_files = 3  # force a fold within 4 batches
+    for i in range(4):
+        assert a.run_batch() == b.run_batch(), f"batch {i} counters"
+    for t in ("seen", "frontier", "seen_sketch", "politeness", "pages",
+              "corpus", "items", "metrics_daily"):
+        assert table_state_hash(a.store.read(t)) == table_state_hash(
+            b.store.read(t)
+        ), t
+    # per-shard lineage hashes agree (the resume-proof state record)
+    def _lin(s):
+        return {
+            (r["batch_id"], r["table_name"]): r["partition_state_hash"]
+            for r in s.store.read("snapshots_log").collect()
+            if r["table_name"].startswith("seen/")
+        }
+    assert _lin(a) == _lin(b)
+    assert _lin(a), "no seen shard lineage rows logged"
+    # the append path really appended (delta lists exist) and the fold
+    # kept every shard under the cap
+    bm = a.store._bucket_map("seen")
+    lens = [len(_bucket_paths(v)) for v in bm.values()]
+    assert max(lens) <= 3
+    assert any(n > 1 for n in lens), "append mode never produced a delta"
+    bm_b = b.store._bucket_map("seen")
+    assert all(isinstance(v, str) for v in bm_b.values())
+
+
+def test_rank_boosted_pops_parity_and_bind(spark, tmp_path_factory):
+    """PageRank consumed by the pop: with maintain_host_graph +
+    rank_pop_boost, the top decile of loop-maintained host_ranks doubles
+    its pop cap from the batch after the first maintenance tick. Engine
+    and simulator (pure-Python PageRank twin, same per-iteration
+    rounding) must agree on pop order, counters, seen set and ledger;
+    the engine's rank VALUES must equal the Python twin's to all 6
+    decimals; and the boost must BIND (some host pops past its unboosted
+    cap)."""
+    from crawler_spark.simulator import pagerank_py
+
+    pa = dict(universe=500, n_seeds=16, k_per_host=2, tick_secs=6 * 3600)
+    root = str(tmp_path_factory.mktemp("rankboost"))
+    eng = CrawlScheduler(
+        spark, root, use_sketch=True, lineage_hashes=False,
+        maintain_host_graph=True, rank_pop_boost=True,
+        maintenance_every=2, maintain_vindex=False, **pa,
+    )
+    eng.init()
+    sim = CrawlSimulator(maintenance_every=2, rank_pop_boost=True, **pa)
+    eng_stats, sim_stats = [], []
+    for b in range(6):
+        batch_id = int(eng.store.properties().get("batch_id", 0))
+        as_of = pa["tick_secs"] * batch_id + eng.t0_epoch
+        sim_pop = [r["url_hash"] for r in sim._pop(as_of)]
+        assert eng.popped_order(as_of) == sim_pop, f"batch {b} pop order"
+        eng_stats.append(eng.run_batch())
+        sim_stats.append(sim.run_batch())
+    assert eng_stats == sim_stats
+    rows = eng.store.read("seen").select("url_hash", "verdict").collect()
+    assert {r["url_hash"]: r["verdict"] for r in rows} == sim.seen
+    pol = {r["host_hash"]: (r["used_quota"], r["quota_day"])
+           for r in eng.store.read("politeness").collect()}
+    assert pol == {h: (v[0], v[2]) for h, v in sim.politeness.items()}
+    # engine ranks == Python twin, to the last rounded decimal
+    eng_ranks = {r["host_hash"]: r["pagerank"]
+                 for r in eng.store.read("host_ranks").collect()}
+    assert eng_ranks == pagerank_py(sim.host_edges)
+    assert eng_ranks, "no ranks committed"
+    # non-vacuity: the boost BOUND — after ranks existed, some boosted
+    # host popped more than the unboosted cap in one batch
+    assert sim._boosted, "boost set empty"
+    host_of = {r["url_hash"]: r["host_hash"]
+               for r in eng.store.read("frontier").collect()}
+    bound = False
+    for popped in sim.pop_log[2:]:
+        per: dict = {}
+        for uh in popped:
+            hh = host_of.get(uh)
+            per[hh] = per.get(hh, 0) + 1
+        if any(hh in sim._boosted and n > pa["k_per_host"]
+               for hh, n in per.items()):
+            bound = True
+    assert bound, "boost never exceeded the unboosted cap — inert"
