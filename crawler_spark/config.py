@@ -58,6 +58,11 @@ class CrawlConfig:
     # seen rows are new-by-construction: land them as per-shard delta
     # files (invlist append) instead of rewriting dirty shards
     seen_append: bool = True
+    # discovered frontier rows are insert-only by construction
+    # (filter_unseen guarantees novelty): land them as bucket delta
+    # files; popped-row UPDATES still CoW-merge, and a bucket receiving
+    # both routes through the merge (the overlap guard)
+    frontier_append: bool = True
     # top-decile host_ranks hosts get a doubled pop cap (requires
     # maintain_host_graph + maintenance_every; binds after the first
     # maintenance tick commits ranks)

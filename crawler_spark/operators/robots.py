@@ -59,16 +59,21 @@ def stale_hosts(
     set, mirroring the reference's process-lifetime cache going cold
     (src/main.rs:162-164 re-reads dims at startup; a long-lived crawler
     must re-read on a cadence instead). Distinct popped hosts are O(pop
-    cap), so the left join broadcasts the tiny host set against the
-    per-host robots dim; at 10^8-host scale drop the hint and let AQE
-    pick, same note as politeness.apply_crawl_delay."""
+    cap). Spark cannot broadcast the PRESERVED side of an outer join, so
+    the tiny host set is broadcast twice on the BUILD side instead: a
+    broadcast left-semi prunes the per-host robots dim to the popped
+    hosts (a parallel scan probe, no shuffle of the dim), then that
+    pop-sized slice broadcasts under the left outer that surfaces
+    missing rows as nulls."""
     cutoff = F.lit(as_of_ts).cast("timestamp") - F.expr(
         f"INTERVAL {int(ttl_secs)} SECOND"
     )
     hosts = popped.select("host", "host_hash").distinct()
+    robots_slice = robots.select("host_hash", "fetched_ts").join(
+        F.broadcast(hosts.select("host_hash")), "host_hash", "left_semi"
+    )
     return (
-        robots.select("host_hash", "fetched_ts")
-        .join(F.broadcast(hosts), "host_hash", "right")
+        hosts.join(F.broadcast(robots_slice), "host_hash", "left")
         .filter(F.col("fetched_ts").isNull() | (F.col("fetched_ts") <= cutoff))
         .select("host", "host_hash")
     )

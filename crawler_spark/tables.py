@@ -87,6 +87,13 @@ def crawl_bucket_spec(n_shards: int = 16, n_buckets: int = 16) -> dict:
             "stats": ["next_fetch_ts"], "sort": ["next_fetch_ts"],
         },
         "seen": {"mode": "hash", "key": "url_hash", "n": n_shards},
+        # one row per sketch shard, bucketed BY the shard id so a batch's
+        # sketch upkeep commits only the dirty shards' rows (plan_merge)
+        # instead of rewriting the whole O(shards) sketch table. Stores
+        # created before this spec existed lack the entry; the scheduler
+        # falls back to the full-rewrite path for them (persisted specs
+        # win on reopen — the layout contract).
+        "seen_sketch": {"mode": "hash", "key": "shard_id", "n": n_shards},
         "pages": {"mode": "hash", "key": "url_hash", "n": n_buckets},
         "corpus": {"mode": "hash", "key": "image_id", "n": n_buckets},
         # near-dup cluster sidecar, bucketed identically to corpus so the
@@ -916,8 +923,12 @@ class SnapshotStore:
         overlap |= set(_mor_delete or {}) & (
             set(changed) | set(merge) | set(append or {})
         )
+        # merge + bucket_append on the SAME table is the HYBRID commit
+        # (update-dirty buckets CoW-rewritten, insert-only buckets gain
+        # delta dirs) — allowed iff the two bucket sets are disjoint,
+        # verified below where the append labels are known
         overlap |= set(bucket_append or {}) & (
-            set(changed) | set(merge) | set(append or {}) | set(_mor_delete or {})
+            set(changed) | set(append or {}) | set(_mor_delete or {})
         )
         if overlap:
             raise ValueError(f"tables in multiple commit modes: {sorted(overlap)}")
@@ -1039,6 +1050,15 @@ class SnapshotStore:
             batch_labels = self.bucket_labels(name, df)
             if not batch_labels:
                 continue
+            hybrid_plan = merge.get(name)
+            if hybrid_plan is not None:
+                clash = sorted(set(batch_labels) & set(hybrid_plan.dirty))
+                if clash:
+                    raise ValueError(
+                        f"hybrid commit on {name!r}: append rows hash into "
+                        f"merge-dirty buckets {clash} — route them through "
+                        "the merge plan (the overlap guard contract)"
+                    )
             bm = {k: _bucket_paths(v) for k, v in ent["buckets"].items()}
             stats = dict(ent.get("stats", {}))
             overfull = sorted(
@@ -1047,9 +1067,9 @@ class SnapshotStore:
             )
             bexpr = self._bucket_expr(name)
             delta = df.filter(~bexpr.isin(overfull)) if overfull else df
-            written = self._write_buckets(
+            written, wstats = self._write_buckets(
                 name, delta, sid, len(batch_labels), suffix="-ba"
-            )[0]
+            )
             for lbl, p in written.items():
                 bm.setdefault(lbl, []).append(p)
             if overfull:
@@ -1073,16 +1093,32 @@ class SnapshotStore:
                     ).select(*self._write_projection(name)).unionByName(fold_new)
                 else:
                     folded = fold_new
-                fwritten = self._write_buckets(
+                fwritten, fstats = self._write_buckets(
                     name, folded, sid, len(overfull), suffix="-bf"
-                )[0]
+                )
                 for lbl in overfull:
                     bm[lbl] = [fwritten[lbl]]
-            # appended/folded buckets' manifest stats are stale (the new
-            # rows may widen min/max) — drop them; unknown stats are
-            # always kept by pruned_labels, so this is correctness-safe
+            # appended buckets' manifest stats FOLD (elementwise min/max
+            # of the existing stats and the delta files' footer stats) so
+            # pruning stays alive for append-mode buckets; a side with
+            # missing/non-numeric stats drops the entry instead —
+            # unknown stats are always kept by pruned_labels, so either
+            # way is correctness-safe (the predicate is re-applied).
+            # Folded (overfull) buckets were fully rewritten, so their
+            # fresh stats are exact.
             for lbl in set(batch_labels):
-                stats.pop(lbl, None)
+                if overfull and lbl in overfull:
+                    if lbl in fstats:
+                        stats[lbl] = fstats[lbl]
+                    else:
+                        stats.pop(lbl, None)
+                    continue
+                old_s, new_s = stats.get(lbl), wstats.get(lbl)
+                folded_s = _fold_stats(old_s, new_s)
+                if folded_s is not None:
+                    stats[lbl] = folded_s
+                else:
+                    stats.pop(lbl, None)
             ent["buckets"] = {
                 lbl: (v[0] if len(v) == 1 else v) for lbl, v in bm.items()
             }
@@ -1282,6 +1318,27 @@ class SnapshotStore:
 
 def _keys(key) -> list[str]:
     return [key] if isinstance(key, str) else list(key)
+
+
+def _fold_stats(old: dict | None, new: dict | None) -> dict | None:
+    """Fold two per-bucket column-stats dicts ({col: [min, max]}) for a
+    bucket_append: elementwise min/max over the columns BOTH sides know
+    (a column either side lacks is unknowable for the union — dropped,
+    and a dict left empty returns None so the bucket is kept by pruning,
+    the correctness-safe default). Sides must agree on comparability
+    (both numeric or both str per _stat_val's normalization)."""
+    if not old or not new:
+        return None
+    out: dict = {}
+    for c, ov in old.items():
+        nv = new.get(c)
+        if nv is None:
+            continue
+        str_sides = isinstance(ov[0], str), isinstance(nv[0], str)
+        if str_sides[0] != str_sides[1]:
+            continue
+        out[c] = [min(ov[0], nv[0]), max(ov[1], nv[1])]
+    return out or None
 
 
 def _stat_val(v):
