@@ -67,6 +67,12 @@ class CrawlConfig:
     # maintain_host_graph + maintenance_every; binds after the first
     # maintenance tick commits ranks)
     rank_pop_boost: bool = False
+    # windowed/decayed host authority: edge folds are epoch-tagged and
+    # ranks derive from sum(w_e * 0.5^(E-e)) truncated at the window —
+    # stale boilerplate links fade instead of accumulating forever
+    # (requires maintain_host_graph + maintenance_every)
+    host_rank_decay: bool = False
+    host_rank_decay_window: int = 16
     maintenance_every: int = 0  # 0 = off; else compact+gc every N batches
     # maintain the similarity-index sidecar (<root>/vindex) in the same
     # maintenance tick as corpus dedup

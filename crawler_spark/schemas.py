@@ -261,6 +261,17 @@ HOST_RANKS = StructType([
     _f("host_hash", LongType(), False),
     _f("pagerank", DoubleType()),
 ])
+# epoch-tagged edge counts for WINDOWED/DECAYED host authority (opt-in):
+# per-batch integer folds keyed by (src, dst, maintenance epoch); ranks
+# derive via the closed-form truncated decay sum(w_e * decay^(E-e)) —
+# no float state persists across epochs, so loop == recompute stays
+# bit-identical (queries_graph.decayed_weights)
+HOST_EDGES_EPOCHAL = StructType([
+    _f("src", LongType(), False),
+    _f("dst", LongType(), False),
+    _f("epoch", IntegerType(), False),
+    _f("w", LongType()),
+])
 
 # discovery link graph (ref: subscriptions API, youtube_service.rs:48-102)
 LINKS = StructType([
@@ -293,5 +304,6 @@ TABLE_SCHEMAS: dict[str, StructType] = {
     "corpus_clusters": CORPUS_CLUSTERS,
     "corpus_bands": CORPUS_BANDS,
     "host_edges": HOST_EDGES,
+    "host_edges_epochal": HOST_EDGES_EPOCHAL,
     "host_ranks": HOST_RANKS,
 }

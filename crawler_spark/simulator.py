@@ -66,6 +66,23 @@ def pagerank_py(edges: dict[tuple[int, int], int], iters: int = 5, d: float = 0.
     return {h: round(r[h] + 1e-9, 6) for h in nodes}
 
 
+def decayed_edges_py(
+    ep_edges: dict[tuple[int, int, int], int], cur_epoch: int, window: int,
+    decay: float = 0.5,
+) -> dict[tuple[int, int], float]:
+    """Pure-Python twin of queries_graph.decayed_weights: truncated
+    exponential decay over epoch-tagged integer counts. With decay a
+    power of two, every product/sum is a dyadic rational exact in IEEE
+    double — identical to the engine's SQL sum regardless of order."""
+    out: dict[tuple[int, int], float] = {}
+    for (s, t, e), w in ep_edges.items():
+        if e <= cur_epoch - window:
+            continue
+        k = (s, t)
+        out[k] = out.get(k, 0.0) + w * decay ** (cur_epoch - e)
+    return out
+
+
 class CrawlSimulator:
     def __init__(
         self,
@@ -81,6 +98,8 @@ class CrawlSimulator:
         robots_change_period_secs: int = 0,
         maintenance_every: int = 0,
         rank_pop_boost: bool = False,
+        host_rank_decay: bool = False,
+        host_rank_decay_window: int = 16,
     ):
         self.universe = universe
         self.k_per_host = k_per_host
@@ -139,6 +158,13 @@ class CrawlSimulator:
         # accumulated (pure-Python, cheap); the engine folds it only
         # when maintain_host_graph is on — parity tests compare then.
         self.host_edges: dict[tuple[int, int], int] = {}
+        # decayed-rank mirror (scheduler host_rank_decay): epoch-tagged
+        # integer counts, epoch = batch_id // maintenance_every; the
+        # refresh sums w_e * 0.5^(E-e) over the window — dyadic-exact
+        # float math, so sum order can never diverge from the engine
+        self.host_rank_decay = host_rank_decay
+        self.host_rank_decay_window = int(host_rank_decay_window)
+        self.host_edges_ep: dict[tuple[int, int, int], int] = {}
         # rank-boosted pops (mirrors scheduler._rank_boost_hosts +
         # host_rank_upkeep): ranks recompute from host_edges at the same
         # maintenance cadence as the engine, with the SAME per-iteration
@@ -176,6 +202,17 @@ class CrawlSimulator:
 
     def _gate(self, as_of: int, last: int | None, interval: int) -> bool:
         return interval <= 0 or last is None or as_of - last >= interval
+
+    def decayed_or_plain_edges(self):
+        """Rank-refresh input: decayed weights when the decay mirror is
+        on, else the additive-forever counts."""
+        if self.host_rank_decay and self.maintenance_every:
+            return decayed_edges_py(
+                self.host_edges_ep,
+                self.batch_id // self.maintenance_every,
+                self.host_rank_decay_window,
+            )
+        return self.host_edges
 
     def _pop(self, as_of: int, run_recrawl: bool = True) -> list[dict]:
         ready = [
@@ -251,6 +288,9 @@ class CrawlSimulator:
                 dst = kernels.url_hash64(kernels.host_of(kernels.canonicalize_url(raw)))
                 k = (r["host_hash"], dst)
                 self.host_edges[k] = self.host_edges.get(k, 0) + 1
+                if self.host_rank_decay and self.maintenance_every:
+                    ke = k + (self.batch_id // self.maintenance_every,)
+                    self.host_edges_ep[ke] = self.host_edges_ep.get(ke, 0) + 1
             # pagination pages of the 50-per-page discovery listing
             counts[r["host_hash"]] += -(-len(page["outlinks"]) // 50)
             age = as_of - page["published_epoch"]
@@ -384,7 +424,7 @@ class CrawlSimulator:
         # this batch and bind from the next pop)
         if (self.rank_pop_boost and self.maintenance_every
                 and (self.batch_id + 1) % self.maintenance_every == 0):
-            ranks = pagerank_py(self.host_edges)
+            ranks = pagerank_py(self.decayed_or_plain_edges())
             kk = max(1, len(ranks) // 10)
             order = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))
             self._boosted = {h for h, _ in order[:kk]}

@@ -109,6 +109,9 @@ def crawl_bucket_spec(n_shards: int = 16, n_buckets: int = 16) -> dict:
         # (merge key is (src, dst); bucket key src co-locates a host's
         # out-edges for the per-src weight normalization)
         "host_edges": {"mode": "hash", "key": "src", "n": n_buckets},
+        # epoch-tagged twin for decayed ranks: same src bucketing so the
+        # per-batch fold reads only the popped hosts' buckets
+        "host_edges_epochal": {"mode": "hash", "key": "src", "n": n_buckets},
         "metrics_daily": {"mode": "value", "key": "yyyymmdd"},
     }
 
