@@ -455,22 +455,20 @@ class CrawlScheduler:
         # rows MERGE with the batch commit and BIND on the NEXT pop via
         # the read-side delay/sitemap/rules folds (the robots contract:
         # the politeness table is never rewritten). Stale set is O(popped
-        # hosts); the driver-side row build mirrors the bootstrap path
-        # and the simulator's end-of-batch refetch exactly.
+        # hosts); the fetch+parse is a vectorized mapInPandas pass
+        # (fetch_op.fetch_robots — executor-side Arrow batches, no
+        # driver-side row loop), mirroring the simulator's end-of-batch
+        # refetch exactly.
         robots_changed = None
         if self.robots_ttl_secs > 0:
             stale = robots.stale_hosts(
                 popped, robots_tbl, as_of, self.robots_ttl_secs
-            ).collect()
-            if stale:
+            )
+            if stale.limit(1).count():
                 ver = synth.robots_version_at(
                     as_of_epoch, self.t0_epoch, self.robots_change_period_secs
                 )
-                refreshed = self.spark.createDataFrame(
-                    [synth.robots_row_for_host(r["host"], ver, as_of_epoch)
-                     for r in stale],
-                    TABLE_SCHEMAS["robots"],
-                )
+                refreshed = fetch_op.fetch_robots(stale, ver, as_of_epoch)
                 robots_changed = robots.fold_refetch(robots_tbl, refreshed)
 
         # 2. fetch (vectorized; host-partitioned)
